@@ -1,0 +1,280 @@
+"""WaveGlow normalizing flow: squeeze, 12 coupling steps, early outputs.
+
+Behavioral contract follows reference model.py:141-297:
+  * mel is upsampled by a ConvTranspose (K=1024, stride 256), trimmed (to the
+    audio length in training, by ``K - stride`` in synthesis), and unfolded
+    into groups of ``n_group`` samples;
+  * each flow applies an invertible 1x1 channel mix then an affine coupling
+    whose (log_s, b) come from a WN stack conditioned on the unfolded mel;
+  * every ``n_early_every`` flows, ``n_early_size`` channels are emitted to z;
+  * synthesis runs the flows in reverse from Gaussian noise.
+
+TPU-native realization (not a port):
+  * all tensors are channels-last ``[B, T_groups, C]``; squeeze/unsqueeze are
+    free reshapes instead of ``unfold``/``permute`` chains;
+  * the model is a pure function over a params pytree; training params carry
+    weight-norm (g, v) leaves, inference params are host-fused
+    (:func:`fuse_for_inference`) with precomputed 1x1 inverses;
+  * synthesis noise is injectable (``noise=[...]``) so the torch-RNG golden
+    oracle can be reproduced exactly, while the production path draws from
+    ``jax.random`` (reference samples via torch's global RNG, model.py:243).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from waveglow_tpu.hparams import HParams
+from waveglow_tpu.models import weightnorm
+from waveglow_tpu.models.wn import init_wn_params, wn_condition, wn_forward
+from waveglow_tpu.ops import inv1x1
+from waveglow_tpu.ops.conv import conv_transpose1d
+
+UPSAMPLE_KERNEL = 1024
+UPSAMPLE_STRIDE = 256
+
+
+@dataclass(frozen=True)
+class WaveGlowConfig:
+  """Static model architecture derived from HParams."""
+  n_mel_channels: int = 80
+  n_flows: int = 12
+  n_group: int = 8
+  n_early_every: int = 4
+  n_early_size: int = 2
+  n_layers: int = 8
+  n_channels: int = 256
+  kernel_size: int = 3
+
+  @classmethod
+  def from_hparams(cls, hp: HParams) -> "WaveGlowConfig":
+    return cls(n_mel_channels=hp.n_mel_channels, n_flows=hp.n_flows,
+               n_group=hp.n_group, n_early_every=hp.n_early_every,
+               n_early_size=hp.n_early_size, n_layers=hp.n_layers,
+               n_channels=hp.n_channels, kernel_size=hp.kernel_size)
+
+  def flow_channel_counts(self) -> List[int]:
+    """Audio channel count entering each flow (reference model.py:160-176)."""
+    counts = []
+    n_remaining = self.n_group
+    for k in range(self.n_flows):
+      if k % self.n_early_every == 0 and k > 0:
+        n_remaining -= self.n_early_size
+      counts.append(n_remaining)
+    return counts
+
+  @property
+  def n_remaining_channels(self) -> int:
+    return self.flow_channel_counts()[-1]
+
+
+def init_params(config: WaveGlowConfig, seed: int = 1234,
+                weight_norm: bool = True) -> Dict:
+  """Random parameter pytree (numpy float32 leaves)."""
+  rng = np.random.default_rng(seed)
+  cin = config.n_mel_channels
+
+  def uniform(shape, fan_in):
+    bound = 1.0 / np.sqrt(fan_in)
+    return rng.uniform(-bound, bound, size=shape).astype(np.float32)
+
+  params = {
+      "upsample": {
+          "w": uniform((cin, UPSAMPLE_KERNEL, cin), cin * UPSAMPLE_KERNEL),
+          "b": uniform((cin,), cin * UPSAMPLE_KERNEL),
+      },
+      "flows": [],
+  }
+  for channels in config.flow_channel_counts():
+    n_half = channels // 2
+    flow = {
+        "inv1x1": {"w": inv1x1.init_orthonormal(rng, channels)},
+        "wn": init_wn_params(
+            rng, n_in_channels=n_half,
+            n_mel_channels=config.n_mel_channels * config.n_group,
+            n_layers=config.n_layers, n_channels=config.n_channels,
+            kernel_size=config.kernel_size, weight_norm=weight_norm),
+    }
+    params["flows"].append(flow)
+  return params
+
+
+def fuse_for_inference(params: Dict) -> Dict:
+  """Host-side weight fusion for synthesis.
+
+  Folds weight-norm (g, v) -> w (reference remove_weightnorm,
+  model.py:276-297) and precomputes each 1x1 inverse (the reference caches it
+  lazily on first reverse call, model.py:52-58).
+  """
+  fused = {"upsample": {k: np.asarray(v) for k, v in params["upsample"].items()},
+           "flows": []}
+  for flow in params["flows"]:
+    w = np.asarray(flow["inv1x1"]["w"], dtype=np.float32)
+    wn = flow["wn"]
+    fused_wn = {
+        "start": weightnorm.fuse(wn["start"]),
+        "cond": weightnorm.fuse(wn["cond"]),
+        "in_layers": [weightnorm.fuse(c) for c in wn["in_layers"]],
+        "res_skip": [weightnorm.fuse(c) for c in wn["res_skip"]],
+        "end": {k: np.asarray(v) for k, v in wn["end"].items()},
+    }
+    fused["flows"].append({
+        "inv1x1": {"w": w, "w_inv": inv1x1.inverse_matrix(w)},
+        "wn": fused_wn,
+    })
+  return fused
+
+
+def upsample_mel(params: Dict, spect: jnp.ndarray,
+                 compute_dtype=None) -> jnp.ndarray:
+  """[B, n_mels, frames] -> [B, T_samples, n_mels] via transposed conv."""
+  x = spect.transpose(0, 2, 1)  # channels-last
+  return conv_transpose1d(x, params["upsample"]["w"], params["upsample"]["b"],
+                          stride=UPSAMPLE_STRIDE, compute_dtype=compute_dtype)
+
+
+def unfold_groups(upsampled: jnp.ndarray, n_group: int) -> jnp.ndarray:
+  """[B, T, n_mels] -> [B, T/n_group, n_mels*n_group].
+
+  Channel ordering matches the reference's unfold/permute chain
+  (model.py:191-193): index = mel_channel * n_group + offset_within_group —
+  required so imported cond-layer weights line up.
+  """
+  batch, t, n_mels = upsampled.shape
+  grouped = upsampled.reshape(batch, t // n_group, n_group, n_mels)
+  return grouped.transpose(0, 1, 3, 2).reshape(batch, t // n_group,
+                                               n_mels * n_group)
+
+
+def forward(params: Dict, config: WaveGlowConfig, spect: jnp.ndarray,
+            audio: jnp.ndarray, compute_dtype=None, remat: bool = False
+            ) -> Tuple[jnp.ndarray, List[jnp.ndarray], List[jnp.ndarray]]:
+  """Training-direction flow (reference model.py:178-221).
+
+  Args:
+    spect: [B, n_mels, frames] mel (reference layout).
+    audio: [B, T] waveform; T must be a multiple of n_group.
+  Returns:
+    (z [B, T/n_group, n_group], log_s_list, log_det_w_list).
+  """
+  batch, t_audio = audio.shape
+  up = upsample_mel(params, spect, compute_dtype)
+  assert up.shape[1] >= t_audio, "upsampled mel shorter than audio"
+  up = up[:, :t_audio, :]
+  spect_g = unfold_groups(up, config.n_group)          # [B, T', 640]
+  audio_g = audio.reshape(batch, t_audio // config.n_group, config.n_group)
+
+  output_chunks = []
+  log_s_list: List[jnp.ndarray] = []
+  log_det_w_list: List[jnp.ndarray] = []
+
+  def flow_step(flow, audio_g, channels):
+    audio_g, log_det_w = inv1x1.forward(audio_g, flow["inv1x1"]["w"])
+    n_half = channels // 2
+    audio_0 = audio_g[..., :n_half]
+    audio_1 = audio_g[..., n_half:]
+    wn_out = wn_forward(flow["wn"], audio_0, spect_g, config.n_channels,
+                        config.n_layers, config.kernel_size,
+                        compute_dtype=compute_dtype)
+    b = wn_out[..., :n_half]
+    log_s = wn_out[..., n_half:]
+    audio_1 = jnp.exp(log_s) * audio_1 + b
+    return jnp.concatenate([audio_0, audio_1], axis=-1), log_s, log_det_w
+
+  if remat:
+    flow_step = jax.checkpoint(flow_step, static_argnums=(2,))
+
+  channel_counts = config.flow_channel_counts()
+  for k in range(config.n_flows):
+    if k % config.n_early_every == 0 and k > 0:
+      output_chunks.append(audio_g[..., :config.n_early_size])
+      audio_g = audio_g[..., config.n_early_size:]
+    audio_g, log_s, log_det_w = flow_step(params["flows"][k], audio_g,
+                                          channel_counts[k])
+    log_s_list.append(log_s)
+    log_det_w_list.append(log_det_w)
+
+  output_chunks.append(audio_g)
+  z = jnp.concatenate(output_chunks, axis=-1)
+  return z, log_s_list, log_det_w_list
+
+
+def infer_noise_shapes(config: WaveGlowConfig, batch: int,
+                       n_groups: int) -> List[Tuple[int, int, int]]:
+  """Shapes of the noise tensors consumed by :func:`infer`, in draw order.
+
+  Draw order matches the reference: the main z first (model.py:239-243), then
+  one early-noise block per ``k % n_early_every == 0, k > 0`` flow as the
+  reversed loop passes it (k descending; model.py:260-271). Shapes are
+  channels-last.
+  """
+  shapes = [(batch, n_groups, config.n_remaining_channels)]
+  for k in reversed(range(config.n_flows)):
+    if k % config.n_early_every == 0 and k > 0:
+      shapes.append((batch, n_groups, config.n_early_size))
+  return shapes
+
+
+def infer(params: Dict, config: WaveGlowConfig, spect: jnp.ndarray,
+          sigma: float = 1.0, noise: Optional[Sequence[jnp.ndarray]] = None,
+          rng: Optional[jax.Array] = None, compute_dtype=None) -> jnp.ndarray:
+  """Synthesis-direction flow (reference model.py:223-274).
+
+  Args:
+    params: fused params (from :func:`fuse_for_inference`).
+    spect: [B, n_mels, frames] mel.
+    noise: optional injected standard-normal tensors (see
+      :func:`infer_noise_shapes`) — used for torch-RNG parity.
+    rng: jax PRNG key used when ``noise`` is None.
+  Returns:
+    waveform [B, T_samples].
+  """
+  up = upsample_mel(params, spect, compute_dtype)
+  time_cutoff = UPSAMPLE_KERNEL - UPSAMPLE_STRIDE
+  up = up[:, :-time_cutoff, :]
+  batch = up.shape[0]
+  n_groups = up.shape[1] // config.n_group
+  spect_g = unfold_groups(up[:, :n_groups * config.n_group, :],
+                          config.n_group)
+
+  shapes = infer_noise_shapes(config, batch, n_groups)
+  if noise is None:
+    if rng is None:
+      rng = jax.random.PRNGKey(0)
+    keys = jax.random.split(rng, len(shapes))
+    noise = [jax.random.normal(k, s, dtype=jnp.float32)
+             for k, s in zip(keys, shapes)]
+  else:
+    assert len(noise) == len(shapes), (
+        f"expected {len(shapes)} noise tensors, got {len(noise)}")
+    for n, s in zip(noise, shapes):
+      assert tuple(n.shape) == s, f"noise shape {n.shape} != expected {s}"
+
+  audio_g = sigma * noise[0]
+  noise_idx = 1
+
+  channel_counts = config.flow_channel_counts()
+  for k in reversed(range(config.n_flows)):
+    channels = channel_counts[k]
+    n_half = channels // 2
+    audio_0 = audio_g[..., :n_half]
+    audio_1 = audio_g[..., n_half:]
+    wn_out = wn_forward(params["flows"][k]["wn"], audio_0, spect_g,
+                        config.n_channels, config.n_layers,
+                        config.kernel_size, compute_dtype=compute_dtype)
+    b = wn_out[..., :n_half]
+    s = wn_out[..., n_half:]
+    audio_1 = (audio_1 - b) * jnp.exp(-s)
+    audio_g = jnp.concatenate([audio_0, audio_1], axis=-1)
+    audio_g = inv1x1.reverse(audio_g, params["flows"][k]["inv1x1"]["w_inv"])
+
+    if k % config.n_early_every == 0 and k > 0:
+      audio_g = jnp.concatenate([sigma * noise[noise_idx], audio_g], axis=-1)
+      noise_idx += 1
+
+  return audio_g.reshape(batch, n_groups * config.n_group)

@@ -1,0 +1,126 @@
+"""Convolution primitives as MXU-shaped matmuls (channels-last layout).
+
+TPU-first design: instead of ``lax.conv_general_dilated`` (the literal
+translation of the reference's ``torch.nn.Conv1d`` usage, reference
+model.py:84-113), every conv here is expressed as matmuls over ``[B*T, C]``
+activations:
+
+  * 1x1 conv           -> a single ``x @ w`` matmul;
+  * k-tap dilated conv -> k matmuls of statically shifted views (zero "same"
+    padding), which XLA fuses and the MXU tiles directly — dilation never
+    touches the hardware;
+  * ConvTranspose1d    -> one ``x @ w`` matmul producing per-frame kernels,
+    then a static overlap-add (kernel 1024 / stride 256 -> 4 shifted adds).
+
+Weight layouts (differ from torch on purpose; importers transpose):
+  * 1x1:              ``w[Cin, Cout]``            (torch: ``[Cout, Cin, 1]``)
+  * k-tap:            ``w[K, Cin, Cout]``         (torch: ``[Cout, Cin, K]``)
+  * conv-transpose:   ``w[Cin, K, Cout]``         (torch: ``[Cin, Cout, K]``)
+
+All functions take an optional ``compute_dtype`` that casts matmul operands
+(bf16 fast path) while accumulating in float32 via ``preferred_element_type``.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def _mm(x: jnp.ndarray, w: jnp.ndarray,
+        compute_dtype: Optional[jnp.dtype]) -> jnp.ndarray:
+  """Matmul with f32 accumulation.
+
+  ``compute_dtype=None`` is parity mode: full float32 via Precision.HIGHEST
+  (TPU f32 matmuls otherwise run as bf16 passes with ~1e-3 relative error).
+  ``compute_dtype=bfloat16`` is the fast path: bf16 operands on the MXU.
+  """
+  if compute_dtype is not None:
+    x = x.astype(compute_dtype)
+    w = w.astype(compute_dtype)
+    precision = None
+  else:
+    precision = jax.lax.Precision.HIGHEST
+  return jnp.dot(x, w, precision=precision,
+                 preferred_element_type=jnp.float32)
+
+
+def conv1x1(x: jnp.ndarray, w: jnp.ndarray, b: Optional[jnp.ndarray] = None,
+            compute_dtype=None) -> jnp.ndarray:
+  """Pointwise conv: [..., Cin] @ [Cin, Cout] (+ bias)."""
+  y = _mm(x, w, compute_dtype)
+  if b is not None:
+    y = y + b
+  return y
+
+
+def shift_time(x: jnp.ndarray, offset: int) -> jnp.ndarray:
+  """Zero-padded shift along the time axis (axis 1 of [B, T, C]).
+
+  ``offset > 0`` yields ``y[t] = x[t + offset]`` (look-ahead);
+  ``offset < 0`` yields ``y[t] = x[t - |offset|]`` (look-back).
+  """
+  if offset == 0:
+    return x
+  t = x.shape[1]
+  if offset > 0:
+    return jnp.pad(x[:, offset:, :], ((0, 0), (0, offset), (0, 0)))
+  return jnp.pad(x[:, :t + offset, :], ((0, 0), (-offset, 0), (0, 0)))
+
+
+def dilated_conv(x: jnp.ndarray, w: jnp.ndarray,
+                 b: Optional[jnp.ndarray] = None, dilation: int = 1,
+                 compute_dtype=None) -> jnp.ndarray:
+  """"Same"-padded dilated conv: [B, T, Cin] x [K, Cin, Cout] -> [B, T, Cout].
+
+  Matches torch ``Conv1d(padding=dilation*(K-1)//2)`` semantics for odd K
+  (reference model.py:98-104): ``y[t] = sum_k w[k] @ x[t + (k - K//2) * d]``.
+  """
+  k = w.shape[0]
+  assert k % 2 == 1, "kernel size must be odd for same padding"
+  half = k // 2
+  y = None
+  for tap in range(k):
+    offset = (tap - half) * dilation
+    term = _mm(shift_time(x, offset), w[tap], compute_dtype)
+    y = term if y is None else y + term
+  if b is not None:
+    y = y + b
+  return y
+
+
+def overlap_add_nc(frames: jnp.ndarray, hop: int) -> jnp.ndarray:
+  """Overlap-add with channels: [B, N, L, C] -> [B, (N-1)*hop + L, C]."""
+  batch, n, length, ch = frames.shape
+  assert length % hop == 0
+  ratio = length // hop
+  out_len = (n + ratio - 1) * hop
+  chunks = frames.reshape(batch, n, ratio, hop, ch)
+  body = n * hop
+  out = jnp.zeros((batch, out_len, ch), dtype=frames.dtype)
+  for j in range(ratio):
+    seg = chunks[:, :, j, :, :].reshape(batch, body, ch)
+    out = out + jnp.pad(
+        seg, ((0, 0), (j * hop, out_len - j * hop - body), (0, 0)))
+  return out
+
+
+def conv_transpose1d(x: jnp.ndarray, w: jnp.ndarray,
+                     b: Optional[jnp.ndarray] = None, stride: int = 256,
+                     compute_dtype=None) -> jnp.ndarray:
+  """Transposed conv: [B, T, Cin] x [Cin, K, Cout] -> [B, (T-1)*stride + K, Cout].
+
+  Equivalent to torch ``ConvTranspose1d(padding=0)`` (reference
+  model.py:145-150 uses K=1024, stride=256 for the mel upsampler).
+  """
+  cin, k, cout = w.shape
+  assert k % stride == 0, "kernel length must be a multiple of stride"
+  batch, t, _ = x.shape
+  frames = _mm(x, w.reshape(cin, k * cout), compute_dtype)
+  frames = frames.reshape(batch, t, k, cout)
+  y = overlap_add_nc(frames, stride)
+  if b is not None:
+    y = y + b
+  return y
