@@ -1,31 +1,42 @@
 """The WN stack: non-causal WaveNet conditioning network of one coupling.
 
 Behavioral contract (reference model.py:68-138): ``start`` 1x1 conv lifts the
-first coupling half to ``n_channels``; 8 dilated convs (dilation 2^i, "same"
-padding) produce gate pre-activations that are summed with per-layer slices of
-one big mel-conditioning projection; gated activations feed residual/skip 1x1
-convs; the zero-initialized ``end`` conv emits ``(b, log_s)``.
+first coupling half to ``n_channels``; ``n_layers`` dilated convs (dilation
+2^i, "same" padding) produce gate pre-activations summed with per-layer
+slices of one big mel-conditioning projection; gated activations feed
+residual/skip 1x1 convs; the zero-initialized ``end`` conv emits (b, log_s).
 
-TPU-native realization: channels-last activations ``[B, T, C]``; every conv is
-an MXU matmul (see waveglow_tpu.ops.conv); the gate-channel layout keeps the
-tanh half in ``[..., :C]`` and the sigmoid half in ``[..., C:]`` exactly as
-the reference slices them, so imported torch weights drop in unchanged.
+TPU-native realization: channels-last ``[B, T, C]`` activations, every conv an
+MXU matmul. Weight layouts make the gate/res-skip pair axis EXPLICIT so
+tensor-parallel sharding of the hidden channel axis C is a plain
+PartitionSpec (tanh and sigmoid gate halves stay co-located per shard):
 
-For tensor parallelism, the natural sharding is Megatron-style: ``in_layers``
-and ``cond`` weights column-parallel over the 2C gate axis, ``res_skip``
-row-parallel over its C input axis (see waveglow_tpu.parallel.sharding).
+  start:     w [n_half, C]            b [C]
+  in_layers: w [K, C, 2, C]           b [2, C]     (pair 0 = tanh, 1 = sigmoid)
+  cond:      w [n_mels*n_group, L, 2, C]  b [L, 2, C]
+  res_skip:  w [C, 2, C]              b [2, C]     (pair 0 = residual, 1 = skip)
+  last res_skip: w [C, C]             b [C]        (skip only, model.py:106-110)
+  end:       w [C, 2*n_half]          b [2*n_half] (never weight-normed)
+
+Torch checkpoints map onto these with pure reshapes/transposes (torch packs
+the pair axis as channel blocks [tanh C; sigmoid C] and layer-major cond
+slices, reference model.py:124-126).
+
+Megatron-style TP (see waveglow_tpu.parallel.sharding): in_layers and cond
+column-parallel on the trailing C, res_skip row-parallel on its leading C,
+one psum per layer restores the replicated residual/skip.
 """
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional
+from typing import Dict, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from waveglow_tpu.models.weightnorm import init_weightnorm, materialize
-from waveglow_tpu.ops.conv import conv1x1, dilated_conv
-from waveglow_tpu.ops.gate import gated_activation
+from waveglow_tpu.ops.conv import _mm, conv1x1, shift_time
 
 
 def init_wn_params(rng: np.random.Generator, n_in_channels: int,
@@ -34,8 +45,8 @@ def init_wn_params(rng: np.random.Generator, n_in_channels: int,
   """Random init mirroring the reference's structure (model.py:75-113).
 
   ``end`` is zero-initialized so couplings start as the identity
-  (model.py:88-92); all other convs use fan-in uniform init and are
-  weight-normed (as (g, v)) when ``weight_norm`` is set.
+  (model.py:88-92); other convs use torch-style fan-in uniform init and are
+  weight-normed as (g, v) when ``weight_norm`` is set.
   """
   assert kernel_size % 2 == 1
   assert n_channels % 2 == 0
@@ -44,36 +55,41 @@ def init_wn_params(rng: np.random.Generator, n_in_channels: int,
     bound = 1.0 / np.sqrt(fan_in)
     return rng.uniform(-bound, bound, size=shape).astype(np.float32)
 
-  def conv_init(cin, cout, k=None):
-    if k is None:
-      w = uniform((cin, cout), cin)
-      fan_in = cin
-    else:
-      w = uniform((k, cin, cout), cin * k)
-      fan_in = cin * k
-    conv = init_weightnorm(w) if weight_norm else {"w": w}
-    conv["b"] = uniform((cout,), fan_in)
+  def conv_init(w_shape, fan_in, out_ndim):
+    w = uniform(w_shape, fan_in)
+    conv = init_weightnorm(w, out_ndim) if weight_norm else {"w": w}
+    conv["b"] = uniform(w_shape[-out_ndim:], fan_in)
     return conv
 
+  c = n_channels
   params = {
-      "start": conv_init(n_in_channels, n_channels),
-      "cond": conv_init(n_mel_channels, 2 * n_channels * n_layers),
+      "start": conv_init((n_in_channels, c), n_in_channels, 1),
+      "cond": conv_init((n_mel_channels, n_layers, 2, c), n_mel_channels, 3),
       "in_layers": [
-          conv_init(n_channels, 2 * n_channels, k=kernel_size)
+          conv_init((kernel_size, c, 2, c), c * kernel_size, 2)
           for _ in range(n_layers)
       ],
       "res_skip": [
-          conv_init(
-              n_channels,
-              2 * n_channels if i < n_layers - 1 else n_channels)
+          conv_init((c, 2, c), c, 2) if i < n_layers - 1
+          else conv_init((c, c), c, 1)
           for i in range(n_layers)
       ],
       "end": {
-          "w": np.zeros((n_channels, 2 * n_in_channels), dtype=np.float32),
+          "w": np.zeros((c, 2 * n_in_channels), dtype=np.float32),
           "b": np.zeros((2 * n_in_channels,), dtype=np.float32),
       },
   }
   return params
+
+
+def wn_condition(params: Dict, spect: jnp.ndarray,
+                 compute_dtype=None) -> jnp.ndarray:
+  """Mel-conditioning projection of one flow: [B, T, M] -> [B, T, L, 2, C]."""
+  w = materialize(params["cond"])
+  m, n_layers, _, c = w.shape
+  out = _mm(spect, w.reshape(m, n_layers * 2 * c), compute_dtype)
+  out = out + params["cond"]["b"].reshape(n_layers * 2 * c)
+  return out.reshape(spect.shape[:-1] + (n_layers, 2, c))
 
 
 def wn_forward(params: Dict, audio0: jnp.ndarray, spect: jnp.ndarray,
@@ -82,9 +98,12 @@ def wn_forward(params: Dict, audio0: jnp.ndarray, spect: jnp.ndarray,
                compute_dtype=None) -> jnp.ndarray:
   """[B, T, n_half] x [B, T, n_mels*n_group] -> [B, T, 2*n_half] = (b, log_s).
 
-  ``cond_all`` may carry a precomputed conditioning projection (so synthesis
-  can hoist it out of per-flow work); otherwise it is computed here.
+  ``cond_all`` may carry the precomputed conditioning projection
+  [B, T, L, 2, C] (synthesis hoists it out of per-flow work); otherwise it is
+  computed here from ``spect``.
   """
+  c = n_channels
+  half_k = kernel_size // 2
   x = conv1x1(audio0, materialize(params["start"]), params["start"]["b"],
               compute_dtype=compute_dtype)
   if cond_all is None:
@@ -92,28 +111,29 @@ def wn_forward(params: Dict, audio0: jnp.ndarray, spect: jnp.ndarray,
 
   output = None
   for i in range(n_layers):
+    dilation = 2 ** i
     in_layer = params["in_layers"][i]
-    in_act = dilated_conv(x, materialize(in_layer), in_layer["b"],
-                          dilation=2 ** i, compute_dtype=compute_dtype)
-    cond_i = cond_all[..., i * 2 * n_channels:(i + 1) * 2 * n_channels]
-    acts = gated_activation(in_act, cond_i, n_channels)
+    w_in = materialize(in_layer).reshape(kernel_size, c, 2 * c)
+    pre = None
+    for tap in range(kernel_size):
+      term = _mm(shift_time(x, (tap - half_k) * dilation), w_in[tap],
+                 compute_dtype)
+      pre = term if pre is None else pre + term
+    pre = pre.reshape(pre.shape[:-1] + (2, c)) + in_layer["b"]
+
+    gates = pre + cond_all[..., i, :, :]
+    acts = jnp.tanh(gates[..., 0, :]) * jax.nn.sigmoid(gates[..., 1, :])
 
     res_skip = params["res_skip"][i]
-    rs = conv1x1(acts, materialize(res_skip), res_skip["b"],
-                 compute_dtype=compute_dtype)
+    w_rs = materialize(res_skip)
     if i < n_layers - 1:
-      x = x + rs[..., :n_channels]
-      skip = rs[..., n_channels:]
+      rs = _mm(acts, w_rs.reshape(c, 2 * c), compute_dtype)
+      rs = rs.reshape(rs.shape[:-1] + (2, c)) + res_skip["b"]
+      x = x + rs[..., 0, :]
+      skip = rs[..., 1, :]
     else:
-      skip = rs
+      skip = _mm(acts, w_rs, compute_dtype) + res_skip["b"]
     output = skip if output is None else output + skip
 
   return conv1x1(output, params["end"]["w"], params["end"]["b"],
-                 compute_dtype=compute_dtype)
-
-
-def wn_condition(params: Dict, spect: jnp.ndarray,
-                 compute_dtype=None) -> jnp.ndarray:
-  """The mel-conditioning projection [B, T, 2*C*n_layers] of one flow."""
-  return conv1x1(spect, materialize(params["cond"]), params["cond"]["b"],
                  compute_dtype=compute_dtype)

@@ -1,0 +1,141 @@
+"""Host data pipeline: dataset discovery, segment sampling, batched prefetch.
+
+Replaces the reference's single-threaded ``MelLoader``/``DataLoader`` stack
+(reference dataloader.py:16-105, parser.py:7-18) with a TPU-appropriate
+design:
+
+  * the host only decodes wavs and crops fixed-length segments — the mel
+    transform runs on-device inside the jitted train step;
+  * segment crops are deterministic per (seed, epoch, index), so resuming at
+    iteration N reproduces the exact remaining batches of the epoch without
+    the reference's replay-and-skip loop (train.py:170-187);
+  * a background thread prefetches batches so the accelerator never waits on
+    the host;
+  * multi-host runs give each process a disjoint shard of the entry list.
+
+Entry semantics match the reference parser: every ``*.wav`` under the folder,
+recursively (reference parser.py:7-18).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from dataclasses import dataclass
+from pathlib import Path
+from typing import Dict, Iterator, List, Optional
+
+import numpy as np
+
+from waveglow_tpu.dsp import audio_io
+from waveglow_tpu.hparams import HParams
+
+
+@dataclass
+class Entry:
+  stem: str
+  basename: str
+  wav_absolute_path: Path
+
+
+Entries = List[Entry]
+
+
+def load_dataset(folder: Path) -> Entries:
+  """Recursive ``*.wav`` walk -> entries (sorted for determinism)."""
+  folder = Path(folder)
+  result = [
+      Entry(stem=p.stem, basename=p.name, wav_absolute_path=p.absolute())
+      for p in sorted(folder.rglob("*.wav"))
+  ]
+  return result
+
+
+class SegmentDataset:
+  """Deterministic segment sampler over a wav dataset.
+
+  Entries are shuffled once with the experiment seed (reference
+  dataloader.py:28-30); per-(epoch, index) crop offsets come from a counter-
+  based RNG so any iteration is reproducible in isolation.
+  """
+
+  def __init__(self, entries: Entries, hparams: HParams,
+               process_index: int = 0, process_count: int = 1):
+    order = list(entries)
+    rng = np.random.RandomState(hparams.seed)
+    rng.shuffle(order)
+    # per-host disjoint shard (contiguous after shuffle)
+    self.entries = order[process_index::process_count]
+    self.segment_length = hparams.segment_length
+    self.seed = hparams.seed
+    self.sampling_rate = hparams.sampling_rate
+    self._cache: Optional[Dict[int, np.ndarray]] = (
+        {} if hparams.cache_wavs else None)
+
+  def __len__(self) -> int:
+    return len(self.entries)
+
+  def _load(self, index: int) -> np.ndarray:
+    if self._cache is not None and index in self._cache:
+      return self._cache[index]
+    wav, sr = audio_io.wav_to_float32(self.entries[index].wav_absolute_path)
+    if sr != self.sampling_rate:
+      raise ValueError(
+          f"{self.entries[index].wav_absolute_path}: sampling rate {sr} != "
+          f"{self.sampling_rate}")
+    if self._cache is not None:
+      self._cache[index] = wav
+    return wav
+
+  def segment(self, index: int, epoch: int) -> np.ndarray:
+    wav = self._load(index)
+    crop_rng = np.random.default_rng(
+        np.random.SeedSequence([self.seed, epoch, index]))
+    return audio_io.get_wav_segment(wav, self.segment_length, crop_rng)
+
+
+class BatchLoader:
+  """Iterates [B, segment_length] float32 batches for one epoch."""
+
+  def __init__(self, dataset: SegmentDataset, batch_size: int,
+               drop_last: bool = True, prefetch: int = 2):
+    self.dataset = dataset
+    self.batch_size = batch_size
+    self.drop_last = drop_last
+    self.prefetch = prefetch
+
+  def __len__(self) -> int:
+    n = len(self.dataset)
+    if self.drop_last:
+      return n // self.batch_size
+    return (n + self.batch_size - 1) // self.batch_size
+
+  def _batches(self, epoch: int, start_batch: int) -> Iterator[np.ndarray]:
+    n = len(self.dataset)
+    for b in range(start_batch, len(self)):
+      lo = b * self.batch_size
+      hi = min(lo + self.batch_size, n)
+      batch = np.stack([self.dataset.segment(i, epoch)
+                        for i in range(lo, hi)])
+      yield batch.astype(np.float32)
+
+  def epoch(self, epoch: int, start_batch: int = 0) -> Iterator[np.ndarray]:
+    """Background-prefetched batch iterator for one epoch."""
+    q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+    sentinel = object()
+
+    def producer():
+      try:
+        for batch in self._batches(epoch, start_batch):
+          q.put(batch)
+      finally:
+        q.put(sentinel)
+
+    thread = threading.Thread(target=producer, daemon=True)
+    thread.start()
+    while True:
+      item = q.get()
+      if item is sentinel:
+        break
+      yield item
+    thread.join()
