@@ -1,0 +1,233 @@
+"""Numeric parity against the ACTUAL reference implementation (torch, CPU).
+
+These tests instantiate the reference WaveGlow with random init, export its
+torch state dict, import it through waveglow_tpu's checkpoint importer, and
+require allclose agreement on every pipeline stage: mel extraction, training
+forward (z / log_s / log_det / loss), synthesis with bit-identical injected
+noise, weight-norm removal, and the denoiser.
+
+This is the same oracle chain as the reference's golden test
+(test_Synthesizer.py) but self-contained: no 644 MB download needed.
+"""
+
+import numpy as np
+import pytest
+import torch
+
+import jax.numpy as jnp
+
+from waveglow_tpu.checkpointing.import_torch import state_dict_to_params
+from waveglow_tpu.dsp.mel import MelSTFT
+from waveglow_tpu.hparams import HParams, TSTFTHParams
+from waveglow_tpu.inference.denoiser import Denoiser
+from waveglow_tpu.models.waveglow import (WaveGlowConfig, forward,
+                                          fuse_for_inference, infer)
+from waveglow_tpu.training.loss import waveglow_loss
+
+from reference_oracle import import_reference, tiny_ref_hparams, torch_infer_noise
+
+ref = import_reference()
+
+
+def make_pair(seed=0, **hp_overrides):
+  """(reference model, native params, config, native hparams) with identical
+  weights."""
+  torch.manual_seed(seed)
+  ref_hp = tiny_ref_hparams(**hp_overrides)
+  model = ref.model.WaveGlow(ref_hp).eval()
+
+  hp = HParams(n_flows=ref_hp.n_flows, n_group=ref_hp.n_group,
+               n_early_every=ref_hp.n_early_every,
+               n_early_size=ref_hp.n_early_size, n_layers=ref_hp.n_layers,
+               n_channels=ref_hp.n_channels, kernel_size=ref_hp.kernel_size,
+               n_mel_channels=ref_hp.n_mel_channels)
+  params = state_dict_to_params(model.state_dict(), hp)
+  config = WaveGlowConfig.from_hparams(hp)
+  return model, params, config, hp
+
+
+def rand_mel_audio(frames=6, batch=1, seed=0, n_mels=80):
+  rng = np.random.default_rng(seed)
+  mel = rng.standard_normal((batch, n_mels, frames)).astype(np.float32)
+  audio = rng.uniform(-0.7, 0.7, (batch, frames * 256)).astype(np.float32)
+  return mel, audio
+
+
+class TestMelParity:
+
+  def test_mel_spectrogram_matches_reference(self):
+    tstft_hp = ref.taco_stft.TSTFTHParams()
+    taco = ref.taco_stft.TacotronSTFT(tstft_hp, device=torch.device("cpu"))
+    mine = MelSTFT(TSTFTHParams())
+
+    rng = np.random.default_rng(1)
+    audio = rng.uniform(-0.8, 0.8, 22050).astype(np.float32)
+
+    ref_mel = taco.get_mel_tensor(torch.from_numpy(audio)).numpy()
+    my_mel = np.asarray(mine.get_mel(audio))
+    assert my_mel.shape == ref_mel.shape
+    np.testing.assert_allclose(my_mel, ref_mel, atol=2e-4)
+
+
+class TestSTFTParity:
+
+  def test_transform_and_inverse_match_reference(self):
+    ref_stft = ref.stft.STFT(device=torch.device("cpu"), filter_length=1024,
+                             hop_length=256, win_length=1024)
+    from waveglow_tpu.dsp.stft import STFT
+    mine = STFT()
+
+    rng = np.random.default_rng(2)
+    audio = rng.uniform(-0.8, 0.8, (1, 10240)).astype(np.float32)
+
+    ref_mag, ref_phase = ref_stft.transform(torch.from_numpy(audio))
+    my_mag, my_phase = mine.transform(jnp.asarray(audio))
+    np.testing.assert_allclose(np.asarray(my_mag), ref_mag.numpy(), atol=2e-4)
+
+    ref_rec = ref_stft.inverse(ref_mag, ref_phase).numpy()[:, 0, :]
+    my_rec = np.asarray(mine.inverse(my_mag, my_phase))
+    assert my_rec.shape == ref_rec.shape
+    np.testing.assert_allclose(my_rec, ref_rec, atol=2e-4)
+
+
+class TestForwardParity:
+
+  @pytest.mark.parametrize("seed", [0, 3])
+  def test_forward_z_and_loss(self, seed):
+    model, params, config, hp = make_pair(seed=seed)
+    mel, audio = rand_mel_audio(seed=seed)
+
+    with torch.no_grad():
+      ref_z, ref_log_s, ref_log_det = model(
+          (torch.from_numpy(mel), torch.from_numpy(audio)))
+
+    my_z, my_log_s, my_log_det = forward(params, config, jnp.asarray(mel),
+                                         jnp.asarray(audio))
+
+    # z: reference is [B, C, T'], native is [B, T', C]
+    np.testing.assert_allclose(np.asarray(my_z).transpose(0, 2, 1),
+                               ref_z.numpy(), atol=2e-4)
+    for mine_s, theirs_s in zip(my_log_s, ref_log_s):
+      np.testing.assert_allclose(np.asarray(mine_s).transpose(0, 2, 1),
+                                 theirs_s.numpy(), atol=2e-4)
+    # log_det is ~0 for orthonormal-init W (f32 slogdet noise dominates);
+    # compare with an absolute floor scaled to the batch*time multiplier.
+    scale = audio.shape[0] * audio.shape[1] // 8
+    for mine_d, theirs_d in zip(my_log_det, ref_log_det):
+      assert float(mine_d) == pytest.approx(float(theirs_d), rel=1e-3,
+                                            abs=2e-6 * scale)
+
+    # loss parity
+    criterion = ref.train.WaveGlowLoss(sigma=0.9)
+    ref_loss = float(criterion((ref_z, ref_log_s, ref_log_det), None))
+    my_loss = float(waveglow_loss(my_z, my_log_s, my_log_det, sigma=0.9))
+    assert my_loss == pytest.approx(ref_loss, rel=1e-4)
+
+
+class TestInferParity:
+
+  @pytest.mark.parametrize("sigma", [1.0, 0.666])
+  def test_infer_with_bit_identical_noise(self, sigma):
+    model, params, config, hp = make_pair(seed=1)
+    remove_wn = ref.model.WaveGlow.remove_weightnorm(model)
+    mel, _ = rand_mel_audio(frames=7, seed=1)
+
+    torch.manual_seed(0)
+    with torch.no_grad():
+      ref_wav = remove_wn.infer(torch.from_numpy(mel), sigma=sigma).numpy()
+
+    n_groups = ((7 - 1) * 256 + 1024 - 768) // 8
+    noise = torch_infer_noise(config, 1, n_groups, seed=0)
+    fused = fuse_for_inference(params)
+    my_wav = np.asarray(infer(fused, config, jnp.asarray(mel), sigma=sigma,
+                              noise=[jnp.asarray(n) for n in noise]))
+    assert my_wav.shape == ref_wav.shape
+    np.testing.assert_allclose(my_wav, ref_wav, atol=1e-4)
+
+  def test_full_size_config_short_mel(self):
+    """Full 12-flow / 256-channel architecture, short mel (CPU-feasible)."""
+    model, params, config, hp = make_pair(
+        seed=2, n_flows=12, n_early_every=4, n_early_size=2,
+        n_layers=8, n_channels=256)
+    model = ref.model.WaveGlow.remove_weightnorm(model)
+    mel, _ = rand_mel_audio(frames=4, seed=2)
+
+    torch.manual_seed(0)
+    with torch.no_grad():
+      ref_wav = model.infer(torch.from_numpy(mel), sigma=1.0).numpy()
+
+    n_groups = ((4 - 1) * 256 + 256) // 8
+    noise = torch_infer_noise(config, 1, n_groups, seed=0)
+    fused = fuse_for_inference(params)
+    my_wav = np.asarray(infer(fused, config, jnp.asarray(mel), sigma=1.0,
+                              noise=[jnp.asarray(n) for n in noise]))
+    np.testing.assert_allclose(my_wav, ref_wav, atol=1e-3)
+    # the driver's correctness bar: atol 1e-3 end-to-end
+    assert np.abs(my_wav - ref_wav).max() < 1e-3
+
+
+class TestLegacyWeightNormImport:
+
+  def test_weight_g_v_naming_equivalent(self):
+    """Old-style weight_g/weight_v keys import identically to the new
+    parametrizations naming (NVIDIA checkpoint compatibility)."""
+    model, params_new, config, hp = make_pair(seed=4)
+    sd = model.state_dict()
+    legacy = {}
+    for key, value in sd.items():
+      if key.endswith(".parametrizations.weight.original0"):
+        legacy[key.replace(".parametrizations.weight.original0",
+                           ".weight_g")] = value
+      elif key.endswith(".parametrizations.weight.original1"):
+        legacy[key.replace(".parametrizations.weight.original1",
+                           ".weight_v")] = value
+      else:
+        legacy[key] = value
+    params_legacy = state_dict_to_params(legacy, hp)
+
+    flat_new = jnp.asarray(0)  # noqa: placeholder to keep jax imported
+    import jax
+    for a, b in zip(jax.tree_util.tree_leaves(params_new),
+                    jax.tree_util.tree_leaves(params_legacy)):
+      np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+  def test_fused_state_dict_import(self):
+    """A remove_weightnorm'ed state dict imports as plain weights and
+    produces the same synthesis output."""
+    model, params, config, hp = make_pair(seed=5)
+    fused_ref = ref.model.WaveGlow.remove_weightnorm(model)
+    params_fused_sd = state_dict_to_params(fused_ref.state_dict(), hp)
+
+    mel, _ = rand_mel_audio(frames=5, seed=5)
+    n_groups = ((5 - 1) * 256 + 256) // 8
+    noise = torch_infer_noise(config, 1, n_groups, seed=3)
+
+    w1 = np.asarray(infer(fuse_for_inference(params), config,
+                          jnp.asarray(mel), noise=[jnp.asarray(n) for n in noise]))
+    w2 = np.asarray(infer(fuse_for_inference(params_fused_sd), config,
+                          jnp.asarray(mel), noise=[jnp.asarray(n) for n in noise]))
+    np.testing.assert_allclose(w1, w2, atol=1e-5)
+
+
+class TestDenoiserParity:
+
+  def test_bias_spec_and_forward_match(self):
+    model, params, config, hp = make_pair(seed=6)
+    model = ref.model.WaveGlow.remove_weightnorm(model)
+
+    tstft_hp = ref.taco_stft.TSTFTHParams()
+    ref_denoiser = ref.denoiser.Denoiser(model, tstft_hp, mode="zeros",
+                                         device=torch.device("cpu"))
+
+    fused = fuse_for_inference(params)
+    my_denoiser = Denoiser(fused, config, TSTFTHParams(), mode="zeros")
+
+    np.testing.assert_allclose(
+        my_denoiser.bias_spec, ref_denoiser.bias_spec.numpy(), atol=1e-4)
+
+    rng = np.random.default_rng(7)
+    audio = rng.uniform(-0.5, 0.5, (1, 2048)).astype(np.float32)
+    with torch.no_grad():
+      ref_out = ref_denoiser(torch.from_numpy(audio), strength=0.01)
+    my_out = np.asarray(my_denoiser(jnp.asarray(audio), strength=0.01))
+    np.testing.assert_allclose(my_out, ref_out.numpy()[:, 0, :], atol=1e-4)

@@ -1,0 +1,60 @@
+"""Bias removal by spectral subtraction (the reference's Denoiser).
+
+Behavioral contract (reference denoiser.py:14-57): at construction, run the
+model on an 88-frame zero (or random-normal) mel with sigma=0 and keep the
+first STFT frame of the result as ``bias_spec``; at call time, subtract
+``strength * bias_spec`` from the audio's magnitude spectrogram, clamp at 0,
+and invert with the original phases.
+
+With sigma=0 every injected-noise term vanishes, so bias capture is fully
+deterministic — no RNG parity issue (the "normal" mode draws its mel input
+from jax.random instead of torch's global RNG).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from waveglow_tpu.dsp.stft import STFT
+from waveglow_tpu.hparams import TSTFTHParams
+from waveglow_tpu.models.waveglow import WaveGlowConfig, infer
+
+BIAS_MEL_LENGTH = 88
+
+
+class Denoiser:
+  """Removes model bias from audio produced with WaveGlow."""
+
+  def __init__(self, params: Dict, config: WaveGlowConfig,
+               hparams: TSTFTHParams, mode: str = "zeros",
+               rng: Optional[jax.Array] = None, compute_dtype=None):
+    self.stft = STFT(hparams.filter_length, hparams.hop_length,
+                     hparams.win_length, hparams.window)
+
+    if mode == "zeros":
+      mel_input = jnp.zeros((1, hparams.n_mel_channels, BIAS_MEL_LENGTH),
+                            dtype=jnp.float32)
+    elif mode == "normal":
+      rng = rng if rng is not None else jax.random.PRNGKey(0)
+      mel_input = jax.random.normal(
+          rng, (1, hparams.n_mel_channels, BIAS_MEL_LENGTH),
+          dtype=jnp.float32)
+    else:
+      raise ValueError(f"Mode {mode!r} is not supported")
+
+    bias_audio = infer(params, config, mel_input, sigma=0.0,
+                       rng=jax.random.PRNGKey(0), compute_dtype=compute_dtype)
+    bias_spec, _ = self.stft.transform(bias_audio)
+    # first frame only: [1, cutoff, 1]
+    self.bias_spec = np.asarray(bias_spec[:, :, 0:1])
+
+  def __call__(self, audio: jnp.ndarray, strength: float) -> jnp.ndarray:
+    """[B, T] -> denoised [B, T'] (iSTFT trims to frame-aligned length)."""
+    audio_spec, audio_angles = self.stft.transform(audio)
+    denoised_spec = jnp.clip(
+        audio_spec - jnp.asarray(self.bias_spec) * strength, min=0.0)
+    return self.stft.inverse(denoised_spec, audio_angles)

@@ -1,0 +1,133 @@
+"""The Synthesizer: checkpoint -> jitted mel->waveform runtime.
+
+API contract mirrors reference synthesizer.py:31-92: construction loads the
+model from a checkpoint (with hparam overrides), folds weight-norm, and
+builds a zeros-mode Denoiser; ``infer(mel, sigma, denoiser_strength, seed)``
+returns an InferenceResult carrying both raw and denoised waveforms, per-
+phase durations and an overamplification flag.
+
+TPU-native specifics:
+  * the whole mel->wav path (noise sampling included) is one jitted XLA
+    program, cached per mel length; synthesis noise comes from
+    ``jax.random`` keyed by the seed (the reference reseeds all global RNGs
+    per call, synthesizer.py:56) — or from explicitly injected ``noise``
+    tensors for reference-RNG parity;
+  * ``compute_dtype='bfloat16'`` selects the fast MXU path; default float32
+    holds the allclose oracle.
+"""
+
+from __future__ import annotations
+
+import datetime
+import logging
+import time
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from waveglow_tpu.checkpointing.store import CheckpointWaveglow
+from waveglow_tpu.hparams import HParams, overwrite_custom_hparams
+from waveglow_tpu.inference.denoiser import Denoiser
+from waveglow_tpu.models.waveglow import (WaveGlowConfig, fuse_for_inference,
+                                          infer, infer_noise_shapes)
+
+logger = logging.getLogger(__name__)
+
+
+@dataclass
+class InferenceResult:
+  wav: np.ndarray
+  wav_denoised: np.ndarray
+  sampling_rate: int
+  inference_duration_s: float
+  denoising_duration_s: float
+  was_overamplified: bool
+  timepoint: datetime.datetime
+
+
+class Synthesizer:
+
+  def __init__(self, checkpoint: CheckpointWaveglow, *,
+               custom_hparams: Optional[Dict[str, str]] = None,
+               compute_dtype: Optional[str] = None):
+    hparams = checkpoint.get_hparams()
+    hparams = overwrite_custom_hparams(hparams, custom_hparams)
+    if compute_dtype is not None:
+      hparams.compute_dtype = compute_dtype
+
+    self.hparams = hparams
+    self.config = WaveGlowConfig.from_hparams(hparams)
+    self.params = fuse_for_inference(checkpoint.state_dict)
+    cdt = (jnp.bfloat16 if hparams.compute_dtype == "bfloat16" else None)
+    self._cdt = cdt
+
+    self.denoiser = Denoiser(self.params, self.config, hparams,
+                             mode="zeros", compute_dtype=None)
+
+    config = self.config
+
+    def _infer_keyed(params, mel, sigma, key):
+      wav = infer(params, config, mel, sigma=sigma, rng=key,
+                  compute_dtype=cdt)
+      return wav
+
+    def _infer_noise(params, mel, sigma, noise):
+      return infer(params, config, mel, sigma=sigma, noise=noise,
+                   compute_dtype=cdt)
+
+    def _denoise(params_unused, wav, strength):
+      return self.denoiser(wav, strength)
+
+    self._infer_keyed = jax.jit(_infer_keyed)
+    self._infer_noise = jax.jit(_infer_noise)
+    self._denoise_jit = jax.jit(lambda wav, strength:
+                                self.denoiser(wav, strength))
+
+  def infer(self, mel: np.ndarray, *, sigma: float = 1.0,
+            denoiser_strength: float = 0.0005, seed: int = 0,
+            noise: Optional[Sequence[np.ndarray]] = None) -> InferenceResult:
+    """mel [n_mels, frames] (or [1, n_mels, frames]) -> InferenceResult.
+
+    ``noise``: optional injected standard-normal tensors in the draw order
+    of waveglow_tpu.models.waveglow.infer_noise_shapes (parity harnesses).
+    """
+    timepoint = datetime.datetime.now()
+    mel = jnp.asarray(mel, dtype=jnp.float32)
+    if mel.ndim == 2:
+      mel = mel[None]
+
+    sigma_arr = jnp.float32(sigma)
+    start = time.perf_counter()
+    if noise is not None:
+      wav = self._infer_noise(self.params, mel, sigma_arr,
+                              [jnp.asarray(n) for n in noise])
+    else:
+      wav = self._infer_keyed(self.params, mel, sigma_arr,
+                              jax.random.PRNGKey(seed))
+    wav.block_until_ready()
+    inference_duration_s = time.perf_counter() - start
+
+    denoising_duration_s = 0.0
+    wav_denoised = wav
+    if denoiser_strength > 0:
+      start_dn = time.perf_counter()
+      wav_denoised = self._denoise_jit(wav, jnp.float32(denoiser_strength))
+      wav_denoised.block_until_ready()
+      denoising_duration_s = time.perf_counter() - start_dn
+
+    wav_np = np.asarray(wav).squeeze()
+    wav_denoised_np = np.asarray(wav_denoised).squeeze()
+
+    was_overamplified = bool(np.abs(wav_np).max() > 1.0)
+    if was_overamplified:
+      logger.debug("Waveglow output was overamplified.")
+
+    return InferenceResult(
+        wav=wav_np, wav_denoised=wav_denoised_np,
+        sampling_rate=self.hparams.sampling_rate,
+        inference_duration_s=inference_duration_s,
+        denoising_duration_s=denoising_duration_s,
+        was_overamplified=was_overamplified, timepoint=timepoint)
