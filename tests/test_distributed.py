@@ -1,0 +1,162 @@
+"""Distributed tests on the virtual 8-device CPU mesh.
+
+Validates that data-parallel and tensor-parallel sharded execution produce
+the same numerics as single-device execution (GSPMD inserts the collectives;
+these tests pin down that the PartitionSpecs are consistent), and that the
+driver-facing dryrun entry executes.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from waveglow_tpu.dsp.mel import MelSTFT
+from waveglow_tpu.hparams import HParams, overwrite_custom_hparams
+from waveglow_tpu.models.waveglow import WaveGlowConfig, forward, init_params
+from waveglow_tpu.parallel import mesh as mesh_lib
+from waveglow_tpu.parallel.sharding import batch_pspec, param_pspecs, shard_params
+from waveglow_tpu.training.step import (init_state, make_loss_fn,
+                                        make_optimizer, make_train_step)
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices")
+
+
+def tiny_hp(**kw):
+  base = {"n_flows": "2", "n_layers": "2", "n_channels": "64",
+          "segment_length": "2048", "batch_size": "4"}
+  base.update({k: str(v) for k, v in kw.items()})
+  return overwrite_custom_hparams(HParams(), base)
+
+
+def host_state(hp, seed=0):
+  config = WaveGlowConfig.from_hparams(hp)
+  params = init_params(config, seed=seed)
+  return config, params
+
+
+def rand_batch(hp, seed=0):
+  return np.random.default_rng(seed).uniform(
+      -0.5, 0.5, (int(hp.batch_size), hp.segment_length)).astype(np.float32)
+
+
+class TestDataParallel:
+
+  def test_dp_loss_matches_single_device(self):
+    hp = tiny_hp()
+    config, params = host_state(hp)
+    mel_op = MelSTFT(hp)
+    loss_fn = jax.jit(make_loss_fn(config, hp, mel_op))
+    audio = rand_batch(hp)
+
+    single = float(loss_fn(params, jnp.asarray(audio)))
+
+    mesh = mesh_lib.make_mesh(data=4, model=1)
+    sharded_params = shard_params(params, mesh)
+    batch = jax.device_put(audio, NamedSharding(mesh, batch_pspec()))
+    dp = float(loss_fn(sharded_params, batch))
+    assert dp == pytest.approx(single, rel=1e-5)
+
+  def test_dp_train_step_matches_single_device(self):
+    hp = tiny_hp()
+    config, params = host_state(hp)
+    mel_op = MelSTFT(hp)
+    optimizer = make_optimizer(hp.learning_rate)
+    audio = rand_batch(hp)
+
+    step = make_train_step(config, hp, mel_op, optimizer)
+    s1, l1 = step(init_state(params, optimizer), jnp.asarray(audio))
+
+    mesh = mesh_lib.make_mesh(data=4, model=1)
+    sp = shard_params(host_state(hp)[1], mesh)
+    batch = jax.device_put(audio, NamedSharding(mesh, batch_pspec()))
+    s2, l2 = step(init_state(sp, optimizer), batch)
+
+    assert float(l1) == pytest.approx(float(l2), rel=1e-5)
+    leaves1 = jax.tree_util.tree_leaves(s1["params"])
+    leaves2 = jax.tree_util.tree_leaves(s2["params"])
+    for a, b in zip(leaves1, leaves2):
+      np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+class TestTensorParallel:
+
+  @pytest.mark.parametrize("model_par", [2, 4])
+  def test_tp_forward_matches_unsharded(self, model_par):
+    hp = tiny_hp(batch_size=2)
+    config, params = host_state(hp)
+    mel_op = MelSTFT(hp)
+    audio = rand_batch(hp)
+
+    loss_fn = jax.jit(make_loss_fn(config, hp, mel_op))
+    single = float(loss_fn(params, jnp.asarray(audio)))
+
+    mesh = mesh_lib.make_mesh(data=2, model=model_par)
+    sp = shard_params(params, mesh)
+    batch = jax.device_put(audio, NamedSharding(mesh, batch_pspec()))
+    tp = float(loss_fn(sp, batch))
+    assert tp == pytest.approx(single, rel=1e-4)
+
+  def test_tp_weights_are_actually_sharded(self):
+    hp = tiny_hp()
+    config, params = host_state(hp)
+    mesh = mesh_lib.make_mesh(data=2, model=4)
+    sp = shard_params(params, mesh)
+    w = sp["flows"][0]["wn"]["in_layers"][0]["v"]  # [K, C, 2, C]
+    # trailing C sharded over 4 model shards
+    shard_shapes = {s.data.shape for s in w.addressable_shards}
+    assert shard_shapes == {(3, 64, 2, 16)}
+
+  def test_pspecs_cover_every_leaf(self):
+    hp = tiny_hp()
+    _, params = host_state(hp)
+    specs = param_pspecs(params)
+    p_leaves = jax.tree_util.tree_leaves(params)
+    s_leaves = jax.tree_util.tree_leaves(
+        specs, is_leaf=lambda x: isinstance(x, P))
+    assert len(p_leaves) == len(s_leaves)
+
+
+class TestTimeSharding:
+
+  def test_infer_with_time_sharded_mel(self):
+    """Context-parallel synthesis: shard the mel frame axis; XLA handles
+    conv halos via collective-permute; output matches unsharded."""
+    from waveglow_tpu.models.waveglow import fuse_for_inference, infer
+
+    hp = tiny_hp()
+    config, params = host_state(hp)
+    fused = fuse_for_inference(params)
+    rng = np.random.default_rng(3)
+    mel = rng.standard_normal((1, 80, 32)).astype(np.float32)
+
+    infer_fn = jax.jit(lambda p, m, key: infer(p, config, m, sigma=1.0,
+                                               rng=key))
+    key = jax.random.PRNGKey(0)
+    ref_wav = np.asarray(infer_fn(fused, jnp.asarray(mel), key))
+
+    mesh = mesh_lib.make_time_mesh(time=4)
+    mel_sharded = jax.device_put(
+        mel, NamedSharding(mesh, P(None, None, mesh_lib.TIME_AXIS)))
+    with jax.set_mesh(mesh):
+      shard_wav = np.asarray(infer_fn(fused, mel_sharded, key))
+    np.testing.assert_allclose(shard_wav, ref_wav, atol=1e-4)
+
+
+class TestGraftEntry:
+
+  def test_dryrun_multichip(self):
+    import sys
+    from pathlib import Path
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    import __graft_entry__
+    __graft_entry__.dryrun_multichip(8)
+
+  def test_entry_compiles(self):
+    import __graft_entry__
+    fn, args = __graft_entry__.entry()
+    loss = jax.jit(fn)(*args)
+    assert np.isfinite(float(loss))
