@@ -1,0 +1,123 @@
+"""Benchmark: synthesis throughput (audio-seconds/sec/chip) + training rate.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
+
+The reference publishes no benchmark numbers (BASELINE.md); the baseline used
+for ``vs_baseline`` is the driver's north-star target of 200x realtime per
+v5e chip for mel->wav synthesis, so vs_baseline = value / 200.
+
+Runs on whatever jax's default platform is (the real TPU under the driver;
+CPU elsewhere). Workload: full-size WaveGlow (12 flows / 256 channels),
+~9.6 s utterances (the reference fixture length), batched, bf16 matmuls with
+f32 accumulation (pass --dtype float32 for the parity-mode number).
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+  parser = argparse.ArgumentParser()
+  parser.add_argument("--batch", type=int, default=8)
+  parser.add_argument("--frames", type=int, default=826,
+                      help="mel frames per utterance (826 ~= 9.59 s)")
+  parser.add_argument("--iters", type=int, default=5)
+  parser.add_argument("--dtype", default="bfloat16",
+                      choices=["bfloat16", "float32"])
+  parser.add_argument("--train", action="store_true", default=True)
+  parser.add_argument("--no-train", dest="train", action="store_false")
+  parser.add_argument("--train-batch", type=int, default=8)
+  parser.add_argument("--train-iters", type=int, default=5)
+  args = parser.parse_args()
+
+  import jax
+  import jax.numpy as jnp
+
+  from waveglow_tpu.hparams import HParams, overwrite_custom_hparams
+  from waveglow_tpu.models.waveglow import (WaveGlowConfig,
+                                            fuse_for_inference, infer,
+                                            init_params)
+
+  hp = overwrite_custom_hparams(HParams(), {"compute_dtype": args.dtype})
+  config = WaveGlowConfig.from_hparams(hp)
+  cdt = jnp.bfloat16 if args.dtype == "bfloat16" else None
+
+  params = fuse_for_inference(init_params(config, seed=0))
+  rng = np.random.default_rng(0)
+  mel = jnp.asarray(rng.standard_normal(
+      (args.batch, hp.n_mel_channels, args.frames)).astype(np.float32))
+
+  infer_fn = jax.jit(lambda p, m, key: infer(p, config, m, sigma=1.0,
+                                             rng=key, compute_dtype=cdt))
+
+  # compile + warmup
+  key = jax.random.PRNGKey(0)
+  wav = infer_fn(params, mel, key)
+  wav.block_until_ready()
+  samples_per_call = wav.shape[0] * wav.shape[1]
+  audio_seconds_per_call = samples_per_call / hp.sampling_rate
+
+  start = time.perf_counter()
+  for i in range(args.iters):
+    wav = infer_fn(params, mel, jax.random.PRNGKey(i + 1))
+  wav.block_until_ready()
+  elapsed = time.perf_counter() - start
+
+  audio_sec_per_sec = audio_seconds_per_call * args.iters / elapsed
+  per_utt_rtf = audio_sec_per_sec / args.batch
+
+  extras = {
+      "dtype": args.dtype,
+      "batch": args.batch,
+      "utterance_seconds": round(audio_seconds_per_call / args.batch, 3),
+      "per_utterance_realtime_factor": round(per_utt_rtf, 1),
+      "platform": jax.devices()[0].platform,
+      "device": str(jax.devices()[0]),
+  }
+
+  if args.train:
+    try:
+      from waveglow_tpu.dsp.mel import MelSTFT
+      from waveglow_tpu.training.step import (init_state, make_optimizer,
+                                              make_train_step)
+      thp = overwrite_custom_hparams(HParams(), {
+          "compute_dtype": args.dtype,
+          "batch_size": str(args.train_batch)})
+      mel_op = MelSTFT(thp)
+      optimizer = make_optimizer(thp.learning_rate)
+      state = init_state(init_params(config, seed=0), optimizer)
+      step = make_train_step(config, thp, mel_op, optimizer)
+      audio = jnp.asarray(rng.uniform(
+          -0.5, 0.5, (args.train_batch, thp.segment_length)
+      ).astype(np.float32))
+      state, loss = step(state, audio)  # compile
+      loss.block_until_ready()
+      t0 = time.perf_counter()
+      for _ in range(args.train_iters):
+        state, loss = step(state, audio)
+      loss.block_until_ready()
+      t_el = time.perf_counter() - t0
+      extras["training_samples_per_sec"] = round(
+          args.train_batch * args.train_iters / t_el, 2)
+      extras["training_step_seconds"] = round(t_el / args.train_iters, 4)
+      extras["training_loss_finite"] = bool(np.isfinite(float(loss)))
+    except Exception as e:  # training bench is best-effort
+      extras["training_error"] = f"{type(e).__name__}: {e}"
+
+  result = {
+      "metric": "audio_seconds_synthesized_per_sec_per_chip",
+      "value": round(audio_sec_per_sec, 2),
+      "unit": "audio-sec/s/chip",
+      "vs_baseline": round(audio_sec_per_sec / 200.0, 3),
+      **extras,
+  }
+  print(json.dumps(result))
+
+
+if __name__ == "__main__":
+  main()
