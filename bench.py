@@ -47,7 +47,9 @@ def main():
   config = WaveGlowConfig.from_hparams(hp)
   cdt = jnp.bfloat16 if args.dtype == "bfloat16" else None
 
-  params = fuse_for_inference(init_params(config, seed=0))
+  # params MUST be device-resident: passing a host numpy pytree would
+  # re-transfer ~320 MB per call (catastrophic over a tunneled TPU).
+  params = jax.device_put(fuse_for_inference(init_params(config, seed=0)))
   rng = np.random.default_rng(0)
   mel = jnp.asarray(rng.standard_normal(
       (args.batch, hp.n_mel_channels, args.frames)).astype(np.float32))
@@ -55,17 +57,18 @@ def main():
   infer_fn = jax.jit(lambda p, m, key: infer(p, config, m, sigma=1.0,
                                              rng=key, compute_dtype=cdt))
 
-  # compile + warmup
+  # compile + warmup; fetch a scalar to force full execution
+  # (block_until_ready alone is unreliable on tunneled platforms)
   key = jax.random.PRNGKey(0)
   wav = infer_fn(params, mel, key)
-  wav.block_until_ready()
+  float(wav.sum())
   samples_per_call = wav.shape[0] * wav.shape[1]
   audio_seconds_per_call = samples_per_call / hp.sampling_rate
 
   start = time.perf_counter()
   for i in range(args.iters):
     wav = infer_fn(params, mel, jax.random.PRNGKey(i + 1))
-  wav.block_until_ready()
+  float(wav.sum())
   elapsed = time.perf_counter() - start
 
   audio_sec_per_sec = audio_seconds_per_call * args.iters / elapsed
@@ -90,17 +93,18 @@ def main():
           "batch_size": str(args.train_batch)})
       mel_op = MelSTFT(thp)
       optimizer = make_optimizer(thp.learning_rate)
-      state = init_state(init_params(config, seed=0), optimizer)
+      state = init_state(jax.device_put(init_params(config, seed=0)),
+                         optimizer)
       step = make_train_step(config, thp, mel_op, optimizer)
       audio = jnp.asarray(rng.uniform(
           -0.5, 0.5, (args.train_batch, thp.segment_length)
       ).astype(np.float32))
       state, loss = step(state, audio)  # compile
-      loss.block_until_ready()
+      float(loss)
       t0 = time.perf_counter()
       for _ in range(args.train_iters):
         state, loss = step(state, audio)
-      loss.block_until_ready()
+      float(loss)
       t_el = time.perf_counter() - t0
       extras["training_samples_per_sec"] = round(
           args.train_batch * args.train_iters / t_el, 2)

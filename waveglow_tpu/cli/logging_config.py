@@ -1,0 +1,81 @@
+"""CLI logging: ANSI-colored console + optional timestamped file logger.
+
+Same split as the reference (logging_configuration.py:41-192): the console
+root logger colors by level; a separate non-propagating file logger captures
+the full debug record of a run.
+"""
+
+from __future__ import annotations
+
+import logging
+import platform
+import sys
+from pathlib import Path
+from typing import Optional
+
+_COLORS = {
+    logging.DEBUG: "\x1b[36m",     # cyan
+    logging.INFO: "\x1b[0m",       # default
+    logging.WARNING: "\x1b[33m",   # yellow
+    logging.ERROR: "\x1b[31m",     # red
+    logging.CRITICAL: "\x1b[1;31m",
+}
+_RESET = "\x1b[0m"
+
+
+class ColorFormatter(logging.Formatter):
+
+  def format(self, record: logging.LogRecord) -> str:
+    message = super().format(record)
+    if sys.stderr.isatty():
+      color = _COLORS.get(record.levelno, "")
+      return f"{color}{message}{_RESET}"
+    return message
+
+
+def configure_root_logger(debug: bool = False) -> None:
+  root = logging.getLogger()
+  root.setLevel(logging.DEBUG if debug else logging.INFO)
+  for handler in list(root.handlers):
+    root.removeHandler(handler)
+  console = logging.StreamHandler()
+  console.setFormatter(ColorFormatter("%(message)s"))
+  root.addHandler(console)
+  # quiet noisy third-party loggers
+  for name in ("jax", "jax._src", "matplotlib", "PIL"):
+    logging.getLogger(name).setLevel(logging.WARNING)
+
+
+def try_init_file_logger(log_path: Optional[Path],
+                         debug: bool = False) -> Optional[logging.Logger]:
+  if log_path is None:
+    return None
+  try:
+    log_path = Path(log_path)
+    log_path.parent.mkdir(parents=True, exist_ok=True)
+    handler = logging.FileHandler(log_path, mode="w")
+  except OSError:
+    logging.getLogger(__name__).warning("Could not open log file %s",
+                                        log_path)
+    return None
+  handler.setFormatter(logging.Formatter(
+      "[%(asctime)s] (%(levelname)s) %(name)s: %(message)s"))
+  file_logger = logging.getLogger("file-logger")
+  file_logger.propagate = False
+  file_logger.setLevel(logging.DEBUG if debug else logging.INFO)
+  file_logger.addHandler(handler)
+  logging.getLogger().addHandler(handler)  # mirror everything to the file
+  return file_logger
+
+
+def log_platform_banner(version: str) -> None:
+  logger = logging.getLogger("file-logger")
+  logger.info("waveglow-tpu version: %s", version)
+  logger.info("python version: %s", sys.version.replace("\n", " "))
+  logger.info("platform: %s", platform.platform())
+  try:
+    import jax
+    logger.info("jax version: %s | devices: %s", jax.version.__version__,
+                jax.devices())
+  except Exception:  # noqa: BLE001 - banner is best-effort
+    pass

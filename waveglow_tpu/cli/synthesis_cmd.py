@@ -1,0 +1,222 @@
+"""``synthesize`` / ``synthesize-wav`` subcommands.
+
+Reference behavior (cli/inference_v2.py, cli/inference_wav.py): walk FOLDER
+for ``.npy`` mels (or ``.wav`` files converted to mel first), synthesize each
+with a shared random-or-custom seed, normalize and write ``<stem>.wav``
+mirroring the subfolder tree; ``--include-stats`` adds MCD/cosine/SSIM
+metrics, a comparison PNG stack and a CSV.
+"""
+
+from __future__ import annotations
+
+import logging
+import random
+from argparse import ArgumentParser, Namespace
+from dataclasses import dataclass
+from pathlib import Path
+from typing import List, Optional
+
+import numpy as np
+
+from waveglow_tpu.cli.argparse_helpers import (add_compute_arguments,
+                                               add_denoiser_and_sigma_arguments,
+                                               add_hparams_argument,
+                                               get_optional,
+                                               parse_existing_directory,
+                                               parse_existing_file,
+                                               parse_non_negative_integer,
+                                               parse_path)
+from waveglow_tpu.hparams import parse_custom_hparams
+
+logger = logging.getLogger(__name__)
+
+
+@dataclass
+class InferenceEntry:
+  mel_path: Path = None
+  seed: int = None
+  iteration: int = None
+  inferred_duration_s: float = None
+  inference_duration_s: float = None
+  denoising_duration_s: float = None
+  was_overamplified: bool = None
+  mel_original_frames: int = None
+  mel_inferred_frames: int = None
+  mcd_dtw: float = None
+  mcd_dtw_penalty: float = None
+  mcd_dtw_frames: int = None
+  mcd: float = None
+  mcd_penalty: float = None
+  mcd_frames: int = None
+  structural_similarity: float = None
+  cosine_similarity: float = None
+  denoiser_strength: float = None
+  sigma: float = None
+
+
+def _add_common(parser: ArgumentParser) -> None:
+  add_denoiser_and_sigma_arguments(parser)
+  add_hparams_argument(parser)
+  add_compute_arguments(parser)
+  parser.add_argument("--custom-seed",
+                      type=get_optional(parse_non_negative_integer),
+                      default=None, help="custom seed used for synthesis; "
+                      "random if unset")
+  parser.add_argument("--include-stats", action="store_true",
+                      help="compute quality statistics (slower)")
+  parser.add_argument("-out", "--output-directory", type=parse_path,
+                      default=None,
+                      help="custom output directory if FOLDER should not "
+                           "be used")
+  parser.add_argument("-o", "--overwrite", action="store_true",
+                      help="overwrite already synthesized files")
+
+
+def init_synthesis_parser(parser: ArgumentParser):
+  parser.description = "Synthesize mel-spectrograms (.npy) to .wav files."
+  parser.add_argument("checkpoint", metavar="CHECKPOINT",
+                      type=parse_existing_file,
+                      help="checkpoint to synthesize with (.npz or .pt)")
+  parser.add_argument("folder", metavar="FOLDER",
+                      type=parse_existing_directory,
+                      help="folder containing mel-spectrogram .npy files")
+  _add_common(parser)
+  return lambda ns: _run(ns, source="npy")
+
+
+def init_synthesis_wav_parser(parser: ArgumentParser):
+  parser.description = ("Synthesize .wav files (via copy-synthesis through "
+                        "the mel spectrogram).")
+  parser.add_argument("checkpoint", metavar="CHECKPOINT",
+                      type=parse_existing_file)
+  parser.add_argument("folder", metavar="FOLDER",
+                      type=parse_existing_directory,
+                      help="folder containing .wav files")
+  _add_common(parser)
+  return lambda ns: _run(ns, source="wav")
+
+
+def _run(ns: Namespace, source: str) -> bool:
+  from waveglow_tpu.checkpointing import load_checkpoint_any
+  from waveglow_tpu.dsp.audio_io import float_to_wav, normalize_wav
+  from waveglow_tpu.dsp.mel import MelSTFT
+  from waveglow_tpu.inference.synthesizer import Synthesizer
+
+  output_directory = ns.output_directory or ns.folder
+  if output_directory.is_file():
+    logger.error("Output directory is a file!")
+    return False
+
+  seed = ns.custom_seed if ns.custom_seed is not None \
+      else random.randint(1, 9999)
+  if ns.custom_seed is None:
+    logger.info("Using random seed: %d.", seed)
+
+  try:
+    checkpoint = load_checkpoint_any(ns.checkpoint)
+  except Exception:  # noqa: BLE001
+    logger.exception("Checkpoint couldn't be loaded!")
+    return False
+
+  custom_hparams = parse_custom_hparams(ns.custom_hparams) or None
+  synth = Synthesizer(checkpoint, custom_hparams=custom_hparams,
+                      compute_dtype=ns.compute_dtype)
+  mel_op = MelSTFT(synth.hparams)
+
+  suffix = ".npy" if source == "npy" else ".wav"
+  files = sorted(p for p in ns.folder.rglob(f"*{suffix}")
+                 if p.is_file())
+  logger.info("Found %d %s file(s).", len(files), suffix)
+
+  entries: List[InferenceEntry] = []
+  for path in files:
+    out_stem = path.stem
+    wav_out = (output_directory / path.relative_to(ns.folder).parent
+               / f"{out_stem}.wav")
+    if source == "wav" and ns.output_directory is None:
+      wav_out = wav_out.with_name(f"{out_stem}.synthesized.wav")
+    if wav_out.exists() and not ns.overwrite:
+      logger.info("Skipping %s (exists).", wav_out)
+      continue
+
+    if source == "npy":
+      mel = np.load(path)
+    else:
+      mel = np.asarray(mel_op.get_mel_from_file(path))
+
+    result = synth.infer(mel, sigma=ns.sigma,
+                         denoiser_strength=ns.denoiser_strength, seed=seed)
+    wav_norm = normalize_wav(result.wav_denoised)
+
+    wav_out.parent.mkdir(parents=True, exist_ok=True)
+    float_to_wav(wav_norm, wav_out, sample_rate=result.sampling_rate)
+    logger.info("%s -> %s (%.2fs audio in %.2fs)", path.name, wav_out,
+                len(wav_norm) / result.sampling_rate,
+                result.inference_duration_s)
+
+    if ns.include_stats:
+      entry = _compute_stats(ns, path, mel, wav_norm, result, seed,
+                             checkpoint.iteration, mel_op, wav_out.parent,
+                             out_stem)
+      entries.append(entry)
+
+  if ns.include_stats and entries:
+    _write_stats_csv(entries, output_directory)
+  return True
+
+
+def _compute_stats(ns, mel_path, mel_orig, wav_norm, result, seed, iteration,
+                   mel_op, dest_dir, out_stem) -> InferenceEntry:
+  from waveglow_tpu.eval.metrics import (MCD_NO_OF_COEFFS_PER_FRAME,
+                                         calculate_structural_similarity_np,
+                                         cosine_dist_mels, get_metrics_mels)
+  from waveglow_tpu.eval.plots import (make_same_width_by_filling_white,
+                                       plot_melspec_np, save_image,
+                                       stack_images_vertically)
+
+  mel_inferred = np.asarray(mel_op.get_mel(wav_norm))
+
+  mcd_dtw, pen_dtw, frames_dtw = get_metrics_mels(
+      mel_orig, mel_inferred, n_mfcc=MCD_NO_OF_COEFFS_PER_FRAME,
+      take_log=False, use_dtw=True)
+  mcd, pen, frames = get_metrics_mels(
+      mel_orig, mel_inferred, n_mfcc=MCD_NO_OF_COEFFS_PER_FRAME,
+      take_log=False, use_dtw=False)
+  cosine = cosine_dist_mels(mel_orig, mel_inferred)
+
+  orig_raw, orig_img = plot_melspec_np(mel_orig)
+  inf_raw, inf_img = plot_melspec_np(mel_inferred)
+  raw_a, raw_b = make_same_width_by_filling_white([orig_raw, inf_raw])
+  ssim, diff_img = calculate_structural_similarity_np(raw_a, raw_b)
+
+  save_image(dest_dir / f"{out_stem}.orig.png", orig_img)
+  save_image(dest_dir / f"{out_stem}.inferred.png", inf_img)
+  comparison = stack_images_vertically([orig_img, inf_img, diff_img])
+  save_image(dest_dir / f"{out_stem}.comparison.png", comparison)
+
+  logger.info("MCD DTW: %.4f | MCD: %.4f | SSIM: %.4f | Cosine: %.4f",
+              mcd_dtw, mcd, ssim, cosine)
+
+  return InferenceEntry(
+      mel_path=mel_path, seed=seed, iteration=iteration,
+      inferred_duration_s=len(wav_norm) / result.sampling_rate,
+      inference_duration_s=result.inference_duration_s,
+      denoising_duration_s=result.denoising_duration_s,
+      was_overamplified=result.was_overamplified,
+      mel_original_frames=mel_orig.shape[1],
+      mel_inferred_frames=mel_inferred.shape[1],
+      mcd_dtw=mcd_dtw, mcd_dtw_penalty=pen_dtw, mcd_dtw_frames=frames_dtw,
+      mcd=mcd, mcd_penalty=pen, mcd_frames=frames,
+      structural_similarity=ssim, cosine_similarity=cosine,
+      denoiser_strength=ns.denoiser_strength, sigma=ns.sigma)
+
+
+def _write_stats_csv(entries: List[InferenceEntry], output_dir: Path) -> None:
+  from dataclasses import asdict
+
+  from pandas import DataFrame
+
+  df = DataFrame([asdict(e) for e in entries])
+  csv_path = output_dir / "stats.csv"
+  df.to_csv(csv_path, sep="\t", index=False)
+  logger.info("Wrote statistics to %s", csv_path)

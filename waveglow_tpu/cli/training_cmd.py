@@ -1,0 +1,109 @@
+"""``train`` / ``continue-train`` subcommands (reference cli/training.py)."""
+
+from __future__ import annotations
+
+import logging
+import tempfile
+from argparse import ArgumentParser, Namespace
+from pathlib import Path
+
+from waveglow_tpu.cli.argparse_helpers import (add_compute_arguments,
+                                               add_hparams_argument,
+                                               get_optional,
+                                               parse_existing_directory,
+                                               parse_existing_file,
+                                               parse_path)
+from waveglow_tpu.hparams import parse_custom_hparams
+
+logger = logging.getLogger(__name__)
+
+
+def init_training_parser(parser: ArgumentParser):
+  default_log = Path(tempfile.gettempdir()) / "waveglow-tpu_logs"
+  parser.description = "Start training of a new model."
+  parser.add_argument("train_folder", metavar="TRAIN-FOLDER",
+                      type=parse_existing_directory,
+                      help="path to folder containing training data "
+                           "(i.e., .wav files)")
+  parser.add_argument("val_folder", metavar="VAL-FOLDER",
+                      type=parse_existing_directory,
+                      help="path to folder containing validation data")
+  parser.add_argument("checkpoints_dir", metavar="CHECKPOINTS-FOLDER",
+                      type=parse_path, help="path to folder to write "
+                      "checkpoints")
+  add_hparams_argument(parser)
+  add_compute_arguments(parser)
+  parser.add_argument("--pre-trained-model", metavar="PRE-TRAINED-MODEL",
+                      type=get_optional(parse_existing_file), default=None,
+                      help="path to checkpoint used for warm start "
+                           "(native .npz or torch .pt)")
+  parser.add_argument("--warm-start", action="store_true",
+                      help="warm start using PRE-TRAINED-MODEL")
+  parser.add_argument("--tl-dir", type=parse_path, metavar="LOG-DIR",
+                      default=default_log,
+                      help="folder for training metrics (JSONL)")
+  return train_ns
+
+
+def init_continue_training_parser(parser: ArgumentParser):
+  default_log = Path(tempfile.gettempdir()) / "waveglow-tpu_logs"
+  parser.description = "Continue training from the latest checkpoint."
+  parser.add_argument("train_folder", metavar="TRAIN-FOLDER",
+                      type=parse_existing_directory)
+  parser.add_argument("val_folder", metavar="VAL-FOLDER",
+                      type=parse_existing_directory)
+  parser.add_argument("checkpoints_dir", metavar="CHECKPOINTS-FOLDER",
+                      type=parse_existing_directory)
+  add_hparams_argument(parser)
+  add_compute_arguments(parser)
+  parser.add_argument("--tl-dir", type=parse_path, metavar="LOG-DIR",
+                      default=default_log)
+  return continue_train_ns
+
+
+def _custom_hparams(ns: Namespace):
+  custom = parse_custom_hparams(ns.custom_hparams)
+  if getattr(ns, "compute_dtype", None):
+    custom["compute_dtype"] = ns.compute_dtype
+  return custom or None
+
+
+def train_ns(ns: Namespace) -> bool:
+  from waveglow_tpu.checkpointing import load_checkpoint_any
+  from waveglow_tpu.training.data import load_dataset
+  from waveglow_tpu.training.loop import train
+
+  warm_model = None
+  if ns.pre_trained_model is not None and ns.warm_start:
+    warm_model = load_checkpoint_any(ns.pre_trained_model)
+
+  trainset = load_dataset(ns.train_folder)
+  valset = load_dataset(ns.val_folder)
+  logger.info("Trainset: %d entries | Valset: %d entries",
+              len(trainset), len(valset))
+
+  train(custom_hparams=_custom_hparams(ns), logdir=ns.tl_dir,
+        trainset=trainset, valset=valset,
+        save_checkpoint_dir=ns.checkpoints_dir, checkpoint=None,
+        warm_model=warm_model)
+  return True
+
+
+def continue_train_ns(ns: Namespace) -> bool:
+  from waveglow_tpu.checkpointing.store import (CheckpointWaveglow,
+                                                get_last_checkpoint)
+  from waveglow_tpu.training.data import load_dataset
+  from waveglow_tpu.training.loop import train
+
+  last_path, last_it = get_last_checkpoint(ns.checkpoints_dir)
+  logger.info("Continuing from iteration %d (%s)", last_it, last_path)
+  checkpoint = CheckpointWaveglow.load(last_path)
+
+  trainset = load_dataset(ns.train_folder)
+  valset = load_dataset(ns.val_folder)
+
+  train(custom_hparams=_custom_hparams(ns), logdir=ns.tl_dir,
+        trainset=trainset, valset=valset,
+        save_checkpoint_dir=ns.checkpoints_dir, checkpoint=checkpoint,
+        warm_model=None)
+  return True

@@ -60,7 +60,9 @@ class Synthesizer:
 
     self.hparams = hparams
     self.config = WaveGlowConfig.from_hparams(hparams)
-    self.params = fuse_for_inference(checkpoint.state_dict)
+    # device-resident once at construction — passing host numpy params to a
+    # jitted call would re-upload the whole model every inference
+    self.params = jax.device_put(fuse_for_inference(checkpoint.state_dict))
     cdt = (jnp.bfloat16 if hparams.compute_dtype == "bfloat16" else None)
     self._cdt = cdt
 

@@ -84,11 +84,16 @@ def init_wn_params(rng: np.random.Generator, n_in_channels: int,
 
 def wn_condition(params: Dict, spect: jnp.ndarray,
                  compute_dtype=None) -> jnp.ndarray:
-  """Mel-conditioning projection of one flow: [B, T, M] -> [B, T, L, 2, C]."""
+  """Mel-conditioning projection of one flow: [B, T, M] -> [B, T, L, 2, C].
+
+  In fast (bf16) mode the projection is stored in bf16 — it is the largest
+  activation in the model ([B, T, 2*C*L]) and halving it halves the
+  dominant HBM stream.
+  """
   w = materialize(params["cond"])
   m, n_layers, _, c = w.shape
   out = _mm(spect, w.reshape(m, n_layers * 2 * c), compute_dtype)
-  out = out + params["cond"]["b"].reshape(n_layers * 2 * c)
+  out = out + params["cond"]["b"].reshape(n_layers * 2 * c).astype(out.dtype)
   return out.reshape(spect.shape[:-1] + (n_layers, 2, c))
 
 
@@ -104,8 +109,10 @@ def wn_forward(params: Dict, audio0: jnp.ndarray, spect: jnp.ndarray,
   """
   c = n_channels
   half_k = kernel_size // 2
+  # The residual stream x stays float32 in both modes (it accumulates over
+  # n_layers adds); everything fatter than x is bf16 in fast mode.
   x = conv1x1(audio0, materialize(params["start"]), params["start"]["b"],
-              compute_dtype=compute_dtype)
+              compute_dtype=compute_dtype, out_dtype=jnp.float32)
   if cond_all is None:
     cond_all = wn_condition(params, spect, compute_dtype=compute_dtype)
 
@@ -114,26 +121,32 @@ def wn_forward(params: Dict, audio0: jnp.ndarray, spect: jnp.ndarray,
     dilation = 2 ** i
     in_layer = params["in_layers"][i]
     w_in = materialize(in_layer).reshape(kernel_size, c, 2 * c)
+    # cast the residual stream once per layer, so the k shifted reads touch
+    # bf16 (not f32) memory in fast mode
+    x_mm = x if compute_dtype is None else x.astype(compute_dtype)
     pre = None
     for tap in range(kernel_size):
-      term = _mm(shift_time(x, (tap - half_k) * dilation), w_in[tap],
+      term = _mm(shift_time(x_mm, (tap - half_k) * dilation), w_in[tap],
                  compute_dtype)
       pre = term if pre is None else pre + term
-    pre = pre.reshape(pre.shape[:-1] + (2, c)) + in_layer["b"]
+    pre = pre.reshape(pre.shape[:-1] + (2, c)) + in_layer["b"].astype(pre.dtype)
 
-    gates = pre + cond_all[..., i, :, :]
+    gates = pre + cond_all[..., i, :, :].astype(pre.dtype)
     acts = jnp.tanh(gates[..., 0, :]) * jax.nn.sigmoid(gates[..., 1, :])
 
     res_skip = params["res_skip"][i]
     w_rs = materialize(res_skip)
     if i < n_layers - 1:
       rs = _mm(acts, w_rs.reshape(c, 2 * c), compute_dtype)
-      rs = rs.reshape(rs.shape[:-1] + (2, c)) + res_skip["b"]
-      x = x + rs[..., 0, :]
+      rs = rs.reshape(rs.shape[:-1] + (2, c)) + res_skip["b"].astype(rs.dtype)
+      x = x + rs[..., 0, :].astype(jnp.float32)
       skip = rs[..., 1, :]
     else:
-      skip = _mm(acts, w_rs, compute_dtype) + res_skip["b"]
+      skip = _mm(acts, w_rs, compute_dtype) + res_skip["b"].astype(
+          jnp.float32 if compute_dtype is None else compute_dtype)
+    # skip accumulation in f32 (adds fuse into the matmul epilogue)
+    skip = skip.astype(jnp.float32)
     output = skip if output is None else output + skip
 
   return conv1x1(output, params["end"]["w"], params["end"]["b"],
-                 compute_dtype=compute_dtype)
+                 compute_dtype=compute_dtype, out_dtype=jnp.float32)

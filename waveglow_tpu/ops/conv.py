@@ -10,15 +10,21 @@ activations:
     padding), which XLA fuses and the MXU tiles directly — dilation never
     touches the hardware;
   * ConvTranspose1d    -> one ``x @ w`` matmul producing per-frame kernels,
-    then a static overlap-add (kernel 1024 / stride 256 -> 4 shifted adds).
+    then a static overlap-add with frame-axis (not sample-axis) shifts.
 
 Weight layouts (differ from torch on purpose; importers transpose):
   * 1x1:              ``w[Cin, Cout]``            (torch: ``[Cout, Cin, 1]``)
   * k-tap:            ``w[K, Cin, Cout]``         (torch: ``[Cout, Cin, K]``)
   * conv-transpose:   ``w[Cin, K, Cout]``         (torch: ``[Cin, Cout, K]``)
 
-All functions take an optional ``compute_dtype`` that casts matmul operands
-(bf16 fast path) while accumulating in float32 via ``preferred_element_type``.
+Precision policy (matters — the v5e is HBM-bandwidth bound on this model):
+  * ``compute_dtype=None`` (parity mode): float32 operands with
+    Precision.HIGHEST (TPU f32 matmuls otherwise run as bf16 passes) and
+    float32 intermediates;
+  * ``compute_dtype=bfloat16`` (fast mode): bf16 operands on the MXU (which
+    always accumulates in f32 internally) AND bf16-stored intermediates —
+    halving activation HBM traffic. Callers that need an f32 result (the
+    coupling's (b, log_s) head) pass ``out_dtype=jnp.float32``.
 """
 
 from __future__ import annotations
@@ -29,30 +35,23 @@ import jax
 import jax.numpy as jnp
 
 
-def _mm(x: jnp.ndarray, w: jnp.ndarray,
-        compute_dtype: Optional[jnp.dtype]) -> jnp.ndarray:
-  """Matmul with f32 accumulation.
-
-  ``compute_dtype=None`` is parity mode: full float32 via Precision.HIGHEST
-  (TPU f32 matmuls otherwise run as bf16 passes with ~1e-3 relative error).
-  ``compute_dtype=bfloat16`` is the fast path: bf16 operands on the MXU.
-  """
+def _mm(x: jnp.ndarray, w: jnp.ndarray, compute_dtype,
+        out_dtype=None) -> jnp.ndarray:
   if compute_dtype is not None:
     x = x.astype(compute_dtype)
     w = w.astype(compute_dtype)
-    precision = None
-  else:
-    precision = jax.lax.Precision.HIGHEST
-  return jnp.dot(x, w, precision=precision,
+    preferred = out_dtype if out_dtype is not None else compute_dtype
+    return jnp.dot(x, w, preferred_element_type=preferred)
+  return jnp.dot(x, w, precision=jax.lax.Precision.HIGHEST,
                  preferred_element_type=jnp.float32)
 
 
 def conv1x1(x: jnp.ndarray, w: jnp.ndarray, b: Optional[jnp.ndarray] = None,
-            compute_dtype=None) -> jnp.ndarray:
+            compute_dtype=None, out_dtype=None) -> jnp.ndarray:
   """Pointwise conv: [..., Cin] @ [Cin, Cout] (+ bias)."""
-  y = _mm(x, w, compute_dtype)
+  y = _mm(x, w, compute_dtype, out_dtype)
   if b is not None:
-    y = y + b
+    y = y + b.astype(y.dtype)
   return y
 
 
@@ -72,7 +71,7 @@ def shift_time(x: jnp.ndarray, offset: int) -> jnp.ndarray:
 
 def dilated_conv(x: jnp.ndarray, w: jnp.ndarray,
                  b: Optional[jnp.ndarray] = None, dilation: int = 1,
-                 compute_dtype=None) -> jnp.ndarray:
+                 compute_dtype=None, out_dtype=None) -> jnp.ndarray:
   """"Same"-padded dilated conv: [B, T, Cin] x [K, Cin, Cout] -> [B, T, Cout].
 
   Matches torch ``Conv1d(padding=dilation*(K-1)//2)`` semantics for odd K
@@ -84,32 +83,35 @@ def dilated_conv(x: jnp.ndarray, w: jnp.ndarray,
   y = None
   for tap in range(k):
     offset = (tap - half) * dilation
-    term = _mm(shift_time(x, offset), w[tap], compute_dtype)
+    term = _mm(shift_time(x, offset), w[tap], compute_dtype, out_dtype)
     y = term if y is None else y + term
   if b is not None:
-    y = y + b
+    y = y + b.astype(y.dtype)
   return y
 
 
 def overlap_add_nc(frames: jnp.ndarray, hop: int) -> jnp.ndarray:
-  """Overlap-add with channels: [B, N, L, C] -> [B, (N-1)*hop + L, C]."""
+  """Overlap-add with channels: [B, N, L, C] -> [B, (N-1)*hop + L, C].
+
+  Decomposes L = ratio*hop and shifts along the FRAME axis (pads of at most
+  ratio-1 frames) rather than the sample axis — ratio-1 extra frames of
+  zeros instead of full-signal-length padded copies.
+  """
   batch, n, length, ch = frames.shape
   assert length % hop == 0
   ratio = length // hop
-  out_len = (n + ratio - 1) * hop
   chunks = frames.reshape(batch, n, ratio, hop, ch)
-  body = n * hop
-  out = jnp.zeros((batch, out_len, ch), dtype=frames.dtype)
+  total = None
   for j in range(ratio):
-    seg = chunks[:, :, j, :, :].reshape(batch, body, ch)
-    out = out + jnp.pad(
-        seg, ((0, 0), (j * hop, out_len - j * hop - body), (0, 0)))
-  return out
+    seg = jnp.pad(chunks[:, :, j, :, :],
+                  ((0, 0), (j, ratio - 1 - j), (0, 0), (0, 0)))
+    total = seg if total is None else total + seg
+  return total.reshape(batch, (n + ratio - 1) * hop, ch)
 
 
 def conv_transpose1d(x: jnp.ndarray, w: jnp.ndarray,
                      b: Optional[jnp.ndarray] = None, stride: int = 256,
-                     compute_dtype=None) -> jnp.ndarray:
+                     compute_dtype=None, out_dtype=None) -> jnp.ndarray:
   """Transposed conv: [B, T, Cin] x [Cin, K, Cout] -> [B, (T-1)*stride + K, Cout].
 
   Equivalent to torch ``ConvTranspose1d(padding=0)`` (reference
@@ -118,9 +120,9 @@ def conv_transpose1d(x: jnp.ndarray, w: jnp.ndarray,
   cin, k, cout = w.shape
   assert k % stride == 0, "kernel length must be a multiple of stride"
   batch, t, _ = x.shape
-  frames = _mm(x, w.reshape(cin, k * cout), compute_dtype)
+  frames = _mm(x, w.reshape(cin, k * cout), compute_dtype, out_dtype)
   frames = frames.reshape(batch, t, k, cout)
   y = overlap_add_nc(frames, stride)
   if b is not None:
-    y = y + b
+    y = y + b.astype(y.dtype)
   return y
