@@ -1,0 +1,144 @@
+"""CLI end-to-end tests: train -> continue-train -> synthesize-wav ->
+synthesize -> validate, all through the argparse dispatcher on a tiny model.
+"""
+
+import sys
+import wave
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from waveglow_tpu.cli.main import build_parser, run
+
+TINY = ("n_flows=2,n_channels=32,n_layers=2,segment_length=4096,"
+        "iters_per_checkpoint=1,epochs_per_checkpoint=0,epochs=1,"
+        "batch_size=2,seed=1")
+
+
+def write_noise_dataset(folder: Path, n=4, seconds=0.4, sr=22050, seed=0):
+  folder.mkdir(parents=True, exist_ok=True)
+  rng = np.random.default_rng(seed)
+  for i in range(n):
+    samples = (rng.uniform(-0.3, 0.3, int(sr * seconds))
+               * 32767).astype(np.int16)
+    with wave.open(str(folder / f"utt{i}.wav"), "wb") as f:
+      f.setnchannels(1)
+      f.setsampwidth(2)
+      f.setframerate(sr)
+      f.writeframes(samples.tobytes())
+
+
+class TestParser:
+
+  def test_help_and_version(self, capsys):
+    parser = build_parser()
+    with pytest.raises(SystemExit) as e:
+      parser.parse_args(["--version"])
+    assert e.value.code == 0
+
+  def test_all_subcommands_registered(self):
+    parser = build_parser()
+    text = parser.format_help()
+    for cmd in ("download", "train", "continue-train", "validate",
+                "synthesize", "synthesize-wav", "benchmark"):
+      assert cmd in text
+
+  def test_unknown_command_fails(self):
+    parser = build_parser()
+    with pytest.raises(SystemExit):
+      parser.parse_args(["frobnicate"])
+
+
+class TestEndToEnd:
+
+  @pytest.fixture(scope="class")
+  def workspace(self, tmp_path_factory):
+    ws = tmp_path_factory.mktemp("cli_ws")
+    write_noise_dataset(ws / "train")
+    write_noise_dataset(ws / "val", n=2, seed=1)
+    return ws
+
+  def test_01_train(self, workspace):
+    rc = run(["train", str(workspace / "train"), str(workspace / "val"),
+              str(workspace / "ckpts"), "--custom-hparams", TINY,
+              "--tl-dir", str(workspace / "logs"),
+              "--log", str(workspace / "cli.log")])
+    assert rc == 0
+    ckpts = list((workspace / "ckpts").glob("*.npz"))
+    assert len(ckpts) >= 1
+
+  def test_02_continue_train(self, workspace):
+    from waveglow_tpu.checkpointing.store import get_last_checkpoint
+    _, before = get_last_checkpoint(workspace / "ckpts")
+    # bump epochs so there is something left to train
+    custom = TINY.replace("epochs=1", "epochs=2")
+    rc = run(["continue-train", str(workspace / "train"),
+              str(workspace / "val"), str(workspace / "ckpts"),
+              "--custom-hparams", custom,
+              "--tl-dir", str(workspace / "logs"),
+              "--log", str(workspace / "cli.log")])
+    assert rc == 0
+    _, after = get_last_checkpoint(workspace / "ckpts")
+    assert after > before
+
+  def test_03_synthesize_wav(self, workspace):
+    from waveglow_tpu.checkpointing.store import get_last_checkpoint
+    ckpt, _ = get_last_checkpoint(workspace / "ckpts")
+    out = workspace / "synth_wav_out"
+    rc = run(["synthesize-wav", str(ckpt), str(workspace / "val"),
+              "--custom-seed", "0", "-out", str(out),
+              "--log", str(workspace / "cli.log")])
+    assert rc == 0
+    wavs = list(out.rglob("*.wav"))
+    assert len(wavs) == 2
+
+  def test_04_synthesize_npy(self, workspace):
+    from waveglow_tpu.checkpointing.store import get_last_checkpoint
+    from waveglow_tpu.dsp.mel import MelSTFT
+    from waveglow_tpu.hparams import TSTFTHParams
+
+    mel_dir = workspace / "mels" / "sub"
+    mel_dir.mkdir(parents=True, exist_ok=True)
+    mel_op = MelSTFT(TSTFTHParams())
+    mel = np.asarray(mel_op.get_mel_from_file(
+        workspace / "val" / "utt0.wav"))
+    np.save(mel_dir / "a.npy", mel.astype(np.float32))
+
+    ckpt, _ = get_last_checkpoint(workspace / "ckpts")
+    out = workspace / "synth_npy_out"
+    rc = run(["synthesize", str(ckpt), str(workspace / "mels"),
+              "--custom-seed", "0", "-out", str(out), "--include-stats",
+              "--log", str(workspace / "cli.log")])
+    assert rc == 0
+    assert (out / "sub" / "a.wav").is_file()
+    assert (out / "stats.csv").is_file()
+    assert (out / "sub" / "a.comparison.png").is_file()
+
+  def test_05_validate(self, workspace):
+    out = workspace / "validation"
+    rc = run(["validate", str(workspace / "ckpts"), str(out),
+              str(workspace / "val"), "--custom-seed", "5",
+              "--log", str(workspace / "cli.log")])
+    assert rc == 0
+    total = out / "total.csv"
+    assert total.is_file()
+    import pandas as pd
+    df = pd.read_csv(total, sep="\t")
+    assert len(df) == 1  # random single entry
+    assert "MFCC DTW MCD" in df.columns
+    # per-entry artifacts
+    subdirs = [p for p in out.iterdir() if p.is_dir()]
+    entry_dirs = [p for it_dir in subdirs for p in it_dir.iterdir()
+                  if p.is_dir()]
+    assert any((d / "comparison.png").is_file() for d in entry_dirs)
+
+  def test_06_validate_full_run(self, workspace):
+    out = workspace / "validation_full"
+    rc = run(["validate", str(workspace / "ckpts"), str(out),
+              str(workspace / "val"), "--full-run", "--custom-seed", "5",
+              "--log", str(workspace / "cli.log")])
+    assert rc == 0
+    import pandas as pd
+    df = pd.read_csv(out / "total.csv", sep="\t")
+    assert len(df) == 2

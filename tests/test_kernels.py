@@ -1,0 +1,77 @@
+"""Pallas kernel tests (interpret mode on CPU) against the XLA reference path."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from waveglow_tpu.kernels.wn_layer import wn_layer_fused
+
+
+def xla_reference_layer(x, cond_i, w_in, b_in, w_rs, b_rs, dilation):
+  """The exact math of one WN layer via plain jnp (mirrors wn_forward)."""
+  from waveglow_tpu.ops.conv import shift_time
+  c = x.shape[-1]
+  pre = None
+  for tap in range(3):
+    shifted = shift_time(x, (tap - 1) * dilation)
+    term = jnp.dot(shifted, w_in[tap], preferred_element_type=jnp.float32)
+    pre = term if pre is None else pre + term
+  pre = pre + b_in.reshape(-1)
+  gates = pre + cond_i.reshape(cond_i.shape[0], cond_i.shape[1], -1)
+  acts = jnp.tanh(gates[..., :c]) * jax.nn.sigmoid(gates[..., c:])
+  rs = jnp.dot(acts.astype(x.dtype), w_rs,
+               preferred_element_type=jnp.float32) + b_rs.reshape(-1)
+  if w_rs.shape[-1] == c:
+    return x, rs
+  return x + rs[..., :c], rs[..., c:]
+
+
+def make_inputs(batch=2, t=300, c=128, last=False, seed=0, dtype=jnp.float32):
+  rng = np.random.default_rng(seed)
+  x = jnp.asarray(rng.standard_normal((batch, t, c)).astype(np.float32) * 0.1,
+                  dtype=dtype)
+  cond = jnp.asarray(rng.standard_normal((batch, t, 2, c)).astype(np.float32)
+                     * 0.1, dtype=dtype)
+  w_in = jnp.asarray(rng.standard_normal((3, c, 2 * c)).astype(np.float32)
+                     * 0.05, dtype=dtype)
+  b_in = jnp.asarray(rng.standard_normal((2, c)).astype(np.float32) * 0.05,
+                     dtype=dtype)
+  rs_out = c if last else 2 * c
+  w_rs = jnp.asarray(rng.standard_normal((c, rs_out)).astype(np.float32)
+                     * 0.05, dtype=dtype)
+  b_rs = jnp.asarray(rng.standard_normal((rs_out,)).astype(np.float32) * 0.05,
+                     dtype=dtype)
+  return x, cond, w_in, b_in, w_rs, b_rs
+
+
+class TestWNLayerFused:
+
+  @pytest.mark.parametrize("dilation", [1, 4, 64])
+  def test_matches_xla_path(self, dilation):
+    inputs = make_inputs(t=300, c=128)
+    x_k, skip_k = wn_layer_fused(*inputs, dilation=dilation, tile=128,
+                                 interpret=True)
+    x_r, skip_r = xla_reference_layer(*inputs, dilation=dilation)
+    np.testing.assert_allclose(np.asarray(x_k), np.asarray(x_r), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(skip_k), np.asarray(skip_r),
+                               atol=1e-5)
+
+  def test_last_layer_variant(self):
+    inputs = make_inputs(t=256, c=128, last=True)
+    x_k, skip_k = wn_layer_fused(*inputs, dilation=2, tile=128,
+                                 interpret=True)
+    x_r, skip_r = xla_reference_layer(*inputs, dilation=2)
+    np.testing.assert_allclose(np.asarray(x_k), np.asarray(x_r), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(skip_k), np.asarray(skip_r),
+                               atol=1e-5)
+
+  def test_non_tile_multiple_length(self):
+    inputs = make_inputs(t=200, c=128)
+    x_k, skip_k = wn_layer_fused(*inputs, dilation=8, tile=128,
+                                 interpret=True)
+    x_r, skip_r = xla_reference_layer(*inputs, dilation=8)
+    np.testing.assert_allclose(np.asarray(x_k), np.asarray(x_r), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(skip_k), np.asarray(skip_r),
+                               atol=1e-5)
