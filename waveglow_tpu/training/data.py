@@ -56,11 +56,15 @@ class SegmentDataset:
 
   Entries are shuffled once with the experiment seed (reference
   dataloader.py:28-30); per-(epoch, index) crop offsets come from a counter-
-  based RNG so any iteration is reproducible in isolation.
+  based RNG so any iteration is reproducible in isolation. When the native
+  C++ wavloader is available (waveglow_tpu.native), whole batches are
+  decoded + cropped by a thread pool; the Python path is the fallback and
+  produces bit-identical segments.
   """
 
   def __init__(self, entries: Entries, hparams: HParams,
-               process_index: int = 0, process_count: int = 1):
+               process_index: int = 0, process_count: int = 1,
+               use_native: bool = True):
     order = list(entries)
     rng = np.random.RandomState(hparams.seed)
     rng.shuffle(order)
@@ -71,6 +75,8 @@ class SegmentDataset:
     self.sampling_rate = hparams.sampling_rate
     self._cache: Optional[Dict[int, np.ndarray]] = (
         {} if hparams.cache_wavs else None)
+    self._lengths: Dict[int, int] = {}
+    self._use_native = use_native
 
   def __len__(self) -> int:
     return len(self.entries)
@@ -85,13 +91,52 @@ class SegmentDataset:
           f"{self.sampling_rate}")
     if self._cache is not None:
       self._cache[index] = wav
+    self._lengths[index] = len(wav)
     return wav
+
+  def _length(self, index: int) -> int:
+    if index not in self._lengths:
+      self._lengths[index] = _wav_sample_count(
+          self.entries[index].wav_absolute_path)
+    return self._lengths[index]
+
+  def crop_offset(self, index: int, epoch: int, length: int) -> int:
+    """Deterministic crop start; -1 means the file is shorter (zero-pad)."""
+    if length < self.segment_length:
+      return -1
+    crop_rng = np.random.default_rng(
+        np.random.SeedSequence([self.seed, epoch, index]))
+    return int(crop_rng.integers(0, length - self.segment_length + 1))
 
   def segment(self, index: int, epoch: int) -> np.ndarray:
     wav = self._load(index)
-    crop_rng = np.random.default_rng(
-        np.random.SeedSequence([self.seed, epoch, index]))
-    return audio_io.get_wav_segment(wav, self.segment_length, crop_rng)
+    offset = self.crop_offset(index, epoch, len(wav))
+    if offset < 0:
+      return np.pad(wav, (0, self.segment_length - len(wav)))
+    return wav[offset:offset + self.segment_length]
+
+  def batch(self, indices, epoch: int) -> np.ndarray:
+    """[len(indices), segment_length] float32 batch of segments."""
+    if self._use_native and self._cache is None:
+      from waveglow_tpu import native
+      if native.native_available():
+        try:
+          paths = [self.entries[i].wav_absolute_path for i in indices]
+          offsets = [self.crop_offset(i, epoch, self._length(i))
+                     for i in indices]
+          return native.load_segments_batch(paths, offsets,
+                                            self.segment_length)
+        except ValueError:
+          pass  # unsupported wav variant -> python fallback
+    return np.stack([self.segment(i, epoch) for i in indices]).astype(
+        np.float32)
+
+
+def _wav_sample_count(path) -> int:
+  """Sample count from the wav header (no data decode)."""
+  import wave
+  with wave.open(str(path), "rb") as f:
+    return f.getnframes()
 
 
 class BatchLoader:
@@ -115,9 +160,7 @@ class BatchLoader:
     for b in range(start_batch, len(self)):
       lo = b * self.batch_size
       hi = min(lo + self.batch_size, n)
-      batch = np.stack([self.dataset.segment(i, epoch)
-                        for i in range(lo, hi)])
-      yield batch.astype(np.float32)
+      yield self.dataset.batch(range(lo, hi), epoch)
 
   def epoch(self, epoch: int, start_batch: int = 0) -> Iterator[np.ndarray]:
     """Background-prefetched batch iterator for one epoch."""
