@@ -163,6 +163,58 @@ def _install_glow_shim() -> None:
   sys.modules["glow"] = shim
 
 
+def derive_hparams_from_state_dict(sd: Dict) -> HParams:
+  """Infer the model architecture from a torch state dict's shapes.
+
+  Training-related fields default to the WaveGlow-paper constants the
+  reference fabricates for NVIDIA checkpoints (converter/convert.py:45-68);
+  the architecture itself (flows, layers, channels, early-output schedule)
+  is read off the weights so non-standard models import correctly.
+  """
+
+  def shape_of(prefix: str):
+    for suffix in (".weight", ".weight_v", ".parametrizations.weight.original1"):
+      key = prefix + suffix
+      if key in sd:
+        return tuple(sd[key].shape)
+    raise KeyError(f"no weight found for {prefix}")
+
+  n_flows = 0
+  while f"convinv.{n_flows}.conv.weight" in sd:
+    n_flows += 1
+  n_layers = 0
+  while any(f"WN.0.in_layers.{n_layers}{s}" in sd for s in
+            (".weight", ".weight_v", ".parametrizations.weight.original1")):
+    n_layers += 1
+
+  in0 = shape_of("WN.0.in_layers.0")        # [2C, C, K]
+  n_channels = in0[1]
+  kernel_size = in0[2]
+  n_mel_channels = tuple(sd["upsample.weight"].shape)[0]
+
+  # early-output schedule from the convinv channel counts
+  convinv_ch = [tuple(sd[f"convinv.{k}.conv.weight"].shape)[0]
+                for k in range(n_flows)]
+  n_group = convinv_ch[0]
+  n_early_every = 0
+  n_early_size = 0
+  for k in range(1, n_flows):
+    if convinv_ch[k] != convinv_ch[k - 1]:
+      n_early_every = k
+      n_early_size = convinv_ch[k - 1] - convinv_ch[k]
+      break
+  if n_early_every == 0:  # no drop observed; keep reference defaults
+    n_early_every, n_early_size = 4, 2
+
+  return HParams(
+      batch_size=24, learning_rate=1e-4, sigma=1.0, segment_length=16000,
+      n_mel_channels=n_mel_channels, sampling_rate=22050, filter_length=1024,
+      hop_length=256, win_length=1024, mel_fmin=0.0, mel_fmax=8000.0,
+      n_flows=n_flows, n_group=n_group, n_early_every=n_early_every,
+      n_early_size=n_early_size, n_layers=n_layers, n_channels=n_channels,
+      kernel_size=kernel_size)
+
+
 def nvidia_paper_hparams(iteration: int = 580000) -> HParams:
   """Hparams fabricated for NVIDIA's published LJS checkpoints — paper
   constants, reference converter/convert.py:45-68."""
@@ -199,7 +251,7 @@ def load_torch_checkpoint(path: Union[str, Path]) -> CheckpointWaveglow:
     model = ckpt["model"]
     sd = model.state_dict() if hasattr(model, "state_dict") else model
     iteration = int(ckpt.get("iteration", 580000))
-    hparams = nvidia_paper_hparams(iteration)
+    hparams = derive_hparams_from_state_dict(sd)
     params = state_dict_to_params(sd, hparams)
     from dataclasses import asdict
     return CheckpointWaveglow(
