@@ -67,6 +67,40 @@ class MetricsLogger:
       f.write(json.dumps(record) + "\n")
 
 
+def warm_start_params(target: Dict, source: Dict) -> Dict:
+  """Copy source leaves into target wherever path and shape match.
+
+  The reference's warm start copies the pretrained state dict into the new
+  model (train.py:85-90 via copy_state_dict with an ignore list); this is
+  the pytree equivalent, tolerant of architecture differences: mismatched
+  or missing leaves keep the target's fresh initialization and are logged.
+  """
+  import numpy as _np
+
+  skipped = []
+
+  def merge(t, s, path):
+    if isinstance(t, dict):
+      return {k: merge(t[k], s.get(k) if isinstance(s, dict) else None,
+                       f"{path}/{k}")
+              for k in t}
+    if isinstance(t, list):
+      s_list = s if isinstance(s, list) else []
+      return [merge(t[i], s_list[i] if i < len(s_list) else None,
+                    f"{path}/{i}")
+              for i in range(len(t))]
+    if s is None or _np.shape(s) != _np.shape(t):
+      skipped.append(path)
+      return t
+    return s
+
+  merged = merge(target, source, "")
+  if skipped:
+    logger.warning("Warm start skipped %d mismatched leaves (e.g. %s)",
+                   len(skipped), skipped[:5])
+  return merged
+
+
 def validate_model(eval_loss, params, val_loader: BatchLoader,
                    put) -> float:
   """Average NLL over the validation set (reference utils.py:337-357)."""
@@ -106,7 +140,8 @@ def train(custom_hparams: Optional[Dict[str, str]], logdir: Optional[Path],
     iteration = checkpoint.iteration
   elif warm_model is not None:
     logger.info("Warm-starting from pretrained model state...")
-    params = warm_model.state_dict
+    params = warm_start_params(init_params(config, seed=hparams.seed),
+                               warm_model.state_dict)
     iteration = 0
   else:
     params = init_params(config, seed=hparams.seed)
