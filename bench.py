@@ -38,6 +38,12 @@ def main():
   import jax
   import jax.numpy as jnp
 
+  try:  # persistent compilation cache: first bench run pays, reruns don't
+    jax.config.update("jax_compilation_cache_dir", "/tmp/waveglow_tpu_xla_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+  except Exception:
+    pass
+
   from waveglow_tpu.hparams import HParams, overwrite_custom_hparams
   from waveglow_tpu.models.waveglow import (WaveGlowConfig,
                                             fuse_for_inference, infer,
