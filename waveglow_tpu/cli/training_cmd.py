@@ -42,6 +42,7 @@ def init_training_parser(parser: ArgumentParser):
   parser.add_argument("--tl-dir", type=parse_path, metavar="LOG-DIR",
                       default=default_log,
                       help="folder for training metrics (JSONL)")
+  _add_multihost_args(parser)
   return train_ns
 
 
@@ -58,7 +59,24 @@ def init_continue_training_parser(parser: ArgumentParser):
   add_compute_arguments(parser)
   parser.add_argument("--tl-dir", type=parse_path, metavar="LOG-DIR",
                       default=default_log)
+  _add_multihost_args(parser)
   return continue_train_ns
+
+
+def _add_multihost_args(parser: ArgumentParser) -> None:
+  parser.add_argument("--coordinator-address", default=None,
+                      metavar="HOST:PORT",
+                      help="multi-host coordinator (jax.distributed); "
+                           "auto-detected on Cloud TPU pods")
+  parser.add_argument("--num-processes", type=int, default=None)
+  parser.add_argument("--process-id", type=int, default=None)
+
+
+def _maybe_init_multihost(ns: Namespace) -> None:
+  from waveglow_tpu.parallel.mesh import initialize_multihost
+  initialize_multihost(coordinator_address=ns.coordinator_address,
+                       num_processes=ns.num_processes,
+                       process_id=ns.process_id)
 
 
 def _custom_hparams(ns: Namespace):
@@ -69,6 +87,7 @@ def _custom_hparams(ns: Namespace):
 
 
 def train_ns(ns: Namespace) -> bool:
+  _maybe_init_multihost(ns)
   from waveglow_tpu.checkpointing import load_checkpoint_any
   from waveglow_tpu.training.data import load_dataset
   from waveglow_tpu.training.loop import train
@@ -90,6 +109,7 @@ def train_ns(ns: Namespace) -> bool:
 
 
 def continue_train_ns(ns: Namespace) -> bool:
+  _maybe_init_multihost(ns)
   from waveglow_tpu.checkpointing.store import (CheckpointWaveglow,
                                                 get_last_checkpoint)
   from waveglow_tpu.training.data import load_dataset

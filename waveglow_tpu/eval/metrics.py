@@ -198,6 +198,22 @@ def structural_similarity(im1: np.ndarray, im2: np.ndarray,
   return float(ssim_map[pad:-pad or None, pad:-pad or None].mean())
 
 
+def calculate_structural_similarity(path_a, path_b
+                                    ) -> Tuple[float, np.ndarray]:
+  """SSIM between two image FILES (reference image_utils.py:10-17 reads via
+  imageio; here matplotlib's PNG reader)."""
+  from matplotlib import pyplot as plt
+  img_a = (plt.imread(str(path_a)) * 255).astype(np.uint8) \
+      if str(path_a).endswith(".png") else plt.imread(str(path_a))
+  img_b = (plt.imread(str(path_b)) * 255).astype(np.uint8) \
+      if str(path_b).endswith(".png") else plt.imread(str(path_b))
+  if img_a.shape[-1] == 4:
+    img_a = img_a[..., :3]
+  if img_b.shape[-1] == 4:
+    img_b = img_b[..., :3]
+  return calculate_structural_similarity_np(img_a, img_b)
+
+
 def calculate_structural_similarity_np(img_a: np.ndarray,
                                        img_b: np.ndarray
                                        ) -> Tuple[float, np.ndarray]:
