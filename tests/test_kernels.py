@@ -75,3 +75,24 @@ class TestWNLayerFused:
     np.testing.assert_allclose(np.asarray(x_k), np.asarray(x_r), atol=1e-5)
     np.testing.assert_allclose(np.asarray(skip_k), np.asarray(skip_r),
                                atol=1e-5)
+
+
+class TestPallasModelIntegration:
+
+  def test_full_infer_pallas_matches_xla(self):
+    """End-to-end infer with use_pallas (interpret on CPU) == XLA path."""
+    import jax.numpy as jnp
+    from waveglow_tpu.models.waveglow import (WaveGlowConfig,
+                                              fuse_for_inference, infer,
+                                              infer_noise_shapes,
+                                              init_params)
+    cfg = WaveGlowConfig(n_flows=2, n_channels=128, n_layers=3)
+    params = fuse_for_inference(init_params(cfg, seed=0))
+    rng = np.random.default_rng(0)
+    mel = jnp.asarray(rng.standard_normal((1, 80, 6)).astype(np.float32))
+    shapes = infer_noise_shapes(cfg, 1, 6 * 32)
+    noise = [jnp.asarray(rng.standard_normal(s).astype(np.float32))
+             for s in shapes]
+    w_xla = np.asarray(infer(params, cfg, mel, noise=noise))
+    w_pl = np.asarray(infer(params, cfg, mel, noise=noise, use_pallas=True))
+    np.testing.assert_allclose(w_pl, w_xla, atol=2e-4)

@@ -72,12 +72,24 @@ def _kernel(x_hbm, cond_ref, w_in_ref, b_in_ref, w_rs_ref, b_rs_ref,
     skip_ref[:] = rs[:, c:].astype(skip_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("dilation", "tile", "interpret"))
 def wn_layer_fused(x: jnp.ndarray, cond_i: jnp.ndarray, w_in: jnp.ndarray,
                    b_in: jnp.ndarray, w_rs: jnp.ndarray, b_rs: jnp.ndarray,
                    dilation: int, tile: int = DEFAULT_TILE,
-                   interpret: bool = False
+                   interpret: bool = None
                    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+  if interpret is None:
+    # Mosaic lowering needs a real TPU; everywhere else use the interpreter.
+    interpret = jax.devices()[0].platform != "tpu"
+  return _wn_layer_fused(x, cond_i, w_in, b_in, w_rs, b_rs,
+                         dilation=dilation, tile=tile, interpret=interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("dilation", "tile", "interpret"))
+def _wn_layer_fused(x: jnp.ndarray, cond_i: jnp.ndarray, w_in: jnp.ndarray,
+                    b_in: jnp.ndarray, w_rs: jnp.ndarray, b_rs: jnp.ndarray,
+                    dilation: int, tile: int = DEFAULT_TILE,
+                    interpret: bool = False
+                    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
   """One fused WN layer.
 
   Args:

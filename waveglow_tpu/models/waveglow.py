@@ -222,7 +222,8 @@ def infer_noise_shapes(config: WaveGlowConfig, batch: int,
 
 def infer(params: Dict, config: WaveGlowConfig, spect: jnp.ndarray,
           sigma: float = 1.0, noise: Optional[Sequence[jnp.ndarray]] = None,
-          rng: Optional[jax.Array] = None, compute_dtype=None) -> jnp.ndarray:
+          rng: Optional[jax.Array] = None, compute_dtype=None,
+          use_pallas: bool = False) -> jnp.ndarray:
   """Synthesis-direction flow (reference model.py:223-274).
 
   Args:
@@ -266,7 +267,8 @@ def infer(params: Dict, config: WaveGlowConfig, spect: jnp.ndarray,
     audio_1 = audio_g[..., n_half:]
     wn_out = wn_forward(params["flows"][k]["wn"], audio_0, spect_g,
                         config.n_channels, config.n_layers,
-                        config.kernel_size, compute_dtype=compute_dtype)
+                        config.kernel_size, compute_dtype=compute_dtype,
+                        use_pallas=use_pallas)
     b = wn_out[..., :n_half]
     s = wn_out[..., n_half:]
     audio_1 = (audio_1 - b) * jnp.exp(-s)

@@ -100,13 +100,19 @@ def wn_condition(params: Dict, spect: jnp.ndarray,
 def wn_forward(params: Dict, audio0: jnp.ndarray, spect: jnp.ndarray,
                n_channels: int, n_layers: int, kernel_size: int,
                cond_all: Optional[jnp.ndarray] = None,
-               compute_dtype=None) -> jnp.ndarray:
+               compute_dtype=None, use_pallas: bool = False) -> jnp.ndarray:
   """[B, T, n_half] x [B, T, n_mels*n_group] -> [B, T, 2*n_half] = (b, log_s).
 
   ``cond_all`` may carry the precomputed conditioning projection
   [B, T, L, 2, C] (synthesis hoists it out of per-flow work); otherwise it is
   computed here from ``spect``.
+
+  ``use_pallas`` routes the per-layer body through the fused Pallas kernel
+  (kernel_size 3 only; inference path — the kernel has no custom VJP yet).
   """
+  if use_pallas and kernel_size == 3:
+    return _wn_forward_pallas(params, audio0, spect, n_channels, n_layers,
+                              cond_all=cond_all, compute_dtype=compute_dtype)
   c = n_channels
   half_k = kernel_size // 2
   # The residual stream x stays float32 in both modes (it accumulates over
@@ -145,6 +151,39 @@ def wn_forward(params: Dict, audio0: jnp.ndarray, spect: jnp.ndarray,
       skip = _mm(acts, w_rs, compute_dtype) + res_skip["b"].astype(
           jnp.float32 if compute_dtype is None else compute_dtype)
     # skip accumulation in f32 (adds fuse into the matmul epilogue)
+    skip = skip.astype(jnp.float32)
+    output = skip if output is None else output + skip
+
+  return conv1x1(output, params["end"]["w"], params["end"]["b"],
+                 compute_dtype=compute_dtype, out_dtype=jnp.float32)
+
+
+def _wn_forward_pallas(params: Dict, audio0: jnp.ndarray, spect: jnp.ndarray,
+                       n_channels: int, n_layers: int,
+                       cond_all: Optional[jnp.ndarray] = None,
+                       compute_dtype=None) -> jnp.ndarray:
+  """WN stack with each layer running as one fused Pallas kernel."""
+  from waveglow_tpu.kernels.wn_layer import wn_layer_fused
+
+  dtype = compute_dtype or jnp.float32
+  x = conv1x1(audio0, materialize(params["start"]), params["start"]["b"],
+              compute_dtype=compute_dtype, out_dtype=dtype)
+  if cond_all is None:
+    cond_all = wn_condition(params, spect, compute_dtype=compute_dtype)
+  cond_all = cond_all.astype(dtype)
+
+  output = None
+  for i in range(n_layers):
+    in_layer = params["in_layers"][i]
+    res_skip = params["res_skip"][i]
+    c = n_channels
+    w_in = materialize(in_layer).reshape(3, c, 2 * c).astype(dtype)
+    w_rs = materialize(res_skip)
+    w_rs = w_rs.reshape(c, -1).astype(dtype)
+    x, skip = wn_layer_fused(
+        x, cond_all[..., i, :, :], w_in,
+        in_layer["b"].astype(jnp.float32), w_rs,
+        res_skip["b"].astype(jnp.float32), dilation=2 ** i)
     skip = skip.astype(jnp.float32)
     output = skip if output is None else output + skip
 
