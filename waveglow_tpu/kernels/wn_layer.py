@@ -35,34 +35,41 @@ DEFAULT_TILE = 1024
 
 
 def _kernel(x_hbm, cond_ref, w_in_ref, b_in_ref, w_rs_ref, b_rs_ref,
-            x_out_ref, skip_ref, x_scratch, sem, *, dilation: int, tile: int,
+            x_out_ref, skip_ref, x_scratch, sems, *, dilation: int, tile: int,
             channels: int, last_layer: bool):
   c = channels
   b = pl.program_id(0)
   i = pl.program_id(1)
 
-  copy = pltpu.make_async_copy(
-      x_hbm.at[b, pl.ds(i * tile, tile + 2 * dilation), :],
-      x_scratch, sem)
-  copy.start()
-  copy.wait()
+  # One DMA per tap into its own aligned scratch slab: DMA engines handle
+  # arbitrary HBM offsets, whereas sublane-misaligned VMEM slice reads
+  # (x_scratch[d:d+tile] for small d) crash the Mosaic compiler.
+  copies = []
+  for tap in range(3):
+    copy = pltpu.make_async_copy(
+        x_hbm.at[b, pl.ds(i * tile + tap * dilation, tile), :],
+        x_scratch.at[tap], sems.at[tap])
+    copy.start()
+    copies.append(copy)
+  for copy in copies:
+    copy.wait()
 
-  pre = jnp.dot(x_scratch[0:tile, :], w_in_ref[0],
+  pre = jnp.dot(x_scratch[0], w_in_ref[0],
                 preferred_element_type=jnp.float32)
-  pre += jnp.dot(x_scratch[dilation:dilation + tile, :], w_in_ref[1],
+  pre += jnp.dot(x_scratch[1], w_in_ref[1],
                  preferred_element_type=jnp.float32)
-  pre += jnp.dot(x_scratch[2 * dilation:2 * dilation + tile, :], w_in_ref[2],
+  pre += jnp.dot(x_scratch[2], w_in_ref[2],
                  preferred_element_type=jnp.float32)
   pre += b_in_ref[:].astype(jnp.float32)
   gates = pre + cond_ref[:].reshape(tile, 2 * c).astype(jnp.float32)
 
   acts = jnp.tanh(gates[:, :c]) * jax.nn.sigmoid(gates[:, c:])
-  acts = acts.astype(x_scratch.dtype)
+  acts = acts.astype(x_out_ref.dtype)
 
   rs = jnp.dot(acts, w_rs_ref[:], preferred_element_type=jnp.float32)
   rs += b_rs_ref[:].astype(jnp.float32)
 
-  x_center = x_scratch[dilation:dilation + tile, :]
+  x_center = x_scratch[1]  # the zero-offset tap is the residual itself
   if last_layer:
     x_out_ref[:] = x_center
     skip_ref[:] = rs.astype(skip_ref.dtype)
@@ -138,8 +145,8 @@ def _wn_layer_fused(x: jnp.ndarray, cond_i: jnp.ndarray, w_in: jnp.ndarray,
           jax.ShapeDtypeStruct((batch, t + t_pad, c), x.dtype),
       ),
       scratch_shapes=[
-          pltpu.VMEM((tile + 2 * dilation, c), x.dtype),
-          pltpu.SemaphoreType.DMA,
+          pltpu.VMEM((3, tile, c), x.dtype),
+          pltpu.SemaphoreType.DMA((3,)),
       ],
       interpret=interpret,
   )(x_p, cond_p, w_in, b_in, w_rs, b_rs)
