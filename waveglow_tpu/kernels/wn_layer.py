@@ -32,6 +32,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 DEFAULT_TILE = 1024
+MIN_ALIGNED_DILATION = 8
 
 
 def _kernel(x_hbm, cond_ref, w_in_ref, b_in_ref, w_rs_ref, b_rs_ref,
@@ -111,6 +112,10 @@ def _wn_layer_fused(x: jnp.ndarray, cond_i: jnp.ndarray, w_in: jnp.ndarray,
     (x_next [B, T, C], skip [B, T, C]) — on the last layer x_next is x
     unchanged and skip has C columns.
   """
+  if not interpret:
+    assert dilation % MIN_ALIGNED_DILATION == 0, (
+        f"dilation {dilation} < {MIN_ALIGNED_DILATION}: sublane-misaligned "
+        "windows crash the TPU compiler; use the XLA path")
   batch, t, c = x.shape
   rs_out = w_rs.shape[-1]
   last_layer = rs_out == c
