@@ -61,7 +61,8 @@ def main():
       (args.batch, hp.n_mel_channels, args.frames)).astype(np.float32))
 
   infer_fn = jax.jit(lambda p, m, key: infer(p, config, m, sigma=1.0,
-                                             rng=key, compute_dtype=cdt))
+                                             rng=key, compute_dtype=cdt,
+                                             scan_flows=hp.scan_flows))
 
   # compile + warmup; fetch a scalar to force full execution
   # (block_until_ready alone is unreliable on tunneled platforms)

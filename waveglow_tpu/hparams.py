@@ -81,6 +81,9 @@ class TpuHParams:
   grad_accum: int = 1
   # Rematerialize WN blocks in the backward pass to save HBM.
   remat: bool = False
+  # Trace one flow body per same-shape group (lax.scan) instead of
+  # unrolling all flows: identical numerics, ~4x faster XLA compiles.
+  scan_flows: bool = True
 
 
 @dataclass

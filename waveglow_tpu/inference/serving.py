@@ -58,9 +58,10 @@ class BatchSynthesizer:
     self.params = params
 
     config = self.config
+    scan = hparams.scan_flows
     self._infer = jax.jit(
         lambda p, m, sigma, key: infer(p, config, m, sigma=sigma, rng=key,
-                                       compute_dtype=cdt))
+                                       compute_dtype=cdt, scan_flows=scan))
 
   def _put_batch(self, mels: jnp.ndarray) -> jnp.ndarray:
     if self.mesh is not None and DATA_AXIS in self.mesh.axis_names:

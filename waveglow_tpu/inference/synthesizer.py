@@ -71,14 +71,16 @@ class Synthesizer:
 
     config = self.config
 
+    scan = hparams.scan_flows
+
     def _infer_keyed(params, mel, sigma, key):
       wav = infer(params, config, mel, sigma=sigma, rng=key,
-                  compute_dtype=cdt)
+                  compute_dtype=cdt, scan_flows=scan)
       return wav
 
     def _infer_noise(params, mel, sigma, noise):
       return infer(params, config, mel, sigma=sigma, noise=noise,
-                   compute_dtype=cdt)
+                   compute_dtype=cdt, scan_flows=scan)
 
     def _denoise(params_unused, wav, strength):
       return self.denoiser(wav, strength)

@@ -56,7 +56,8 @@ def make_loss_fn(config: WaveGlowConfig, hp: HParams,
     """audio [B, segment] -> scalar NLL (mel computed on-device)."""
     mel = mel_op.mel_spectrogram(audio)
     z, log_s_list, log_det_w_list = forward(
-        params, config, mel, audio, compute_dtype=cdt, remat=hp.remat)
+        params, config, mel, audio, compute_dtype=cdt, remat=hp.remat,
+        scan_flows=hp.scan_flows)
     return waveglow_loss(z, log_s_list, log_det_w_list, hp.sigma)
 
   return loss_fn
