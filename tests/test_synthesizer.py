@@ -85,3 +85,21 @@ class TestSynthesizer:
     r1 = synth.infer(mel, seed=9)
     r2 = synth.infer(mel[None], seed=9)
     np.testing.assert_array_equal(r1.wav, r2.wav)
+
+
+class TestDenoiserModes:
+
+  def test_normal_mode_differs_from_zeros(self, synth):
+    from waveglow_tpu.hparams import TSTFTHParams
+    from waveglow_tpu.inference.denoiser import Denoiser
+    import jax
+    dn_normal = Denoiser(synth.params, synth.config, TSTFTHParams(),
+                         mode="normal", rng=jax.random.PRNGKey(7))
+    assert dn_normal.bias_spec.shape == synth.denoiser.bias_spec.shape
+    assert not np.array_equal(dn_normal.bias_spec, synth.denoiser.bias_spec)
+
+  def test_unknown_mode_raises(self, synth):
+    from waveglow_tpu.hparams import TSTFTHParams
+    from waveglow_tpu.inference.denoiser import Denoiser
+    with pytest.raises(ValueError):
+      Denoiser(synth.params, synth.config, TSTFTHParams(), mode="bogus")
