@@ -213,6 +213,13 @@ class TestDenoiserParity:
 
   def test_bias_spec_and_forward_match(self):
     model, params, config, hp = make_pair(seed=6)
+    # fresh models have zero end convs -> zero bias spec; randomize them so
+    # the bias capture is non-trivial, then re-import the modified weights
+    torch.manual_seed(60)
+    for wnet in model.WN:
+      wnet.end.weight.data.normal_(0, 0.1)
+      wnet.end.bias.data.normal_(0, 0.1)
+    params = state_dict_to_params(model.state_dict(), hp)
     model = ref.model.WaveGlow.remove_weightnorm(model)
 
     tstft_hp = ref.taco_stft.TSTFTHParams()

@@ -89,14 +89,34 @@ class TestSynthesizer:
 
 class TestDenoiserModes:
 
+  @staticmethod
+  def _nontrivial_params():
+    """Fresh params have zero end convs (identity couplings) -> zero bias;
+    perturb them so the denoiser has something to capture."""
+    from waveglow_tpu.hparams import HParams, overwrite_custom_hparams, parse_custom_hparams
+    from waveglow_tpu.models.waveglow import (WaveGlowConfig,
+                                              fuse_for_inference, init_params)
+    hp = overwrite_custom_hparams(HParams(), parse_custom_hparams(TINY))
+    config = WaveGlowConfig.from_hparams(hp)
+    params = init_params(config, seed=0)
+    rng = np.random.default_rng(11)
+    for flow in params["flows"]:
+      end = flow["wn"]["end"]
+      end["w"] = (0.1 * rng.standard_normal(end["w"].shape)).astype(np.float32)
+      end["b"] = (0.1 * rng.standard_normal(end["b"].shape)).astype(np.float32)
+    return fuse_for_inference(params), config
+
   def test_normal_mode_differs_from_zeros(self, synth):
     from waveglow_tpu.hparams import TSTFTHParams
     from waveglow_tpu.inference.denoiser import Denoiser
     import jax
-    dn_normal = Denoiser(synth.params, synth.config, TSTFTHParams(),
+    params, config = self._nontrivial_params()
+    dn_zeros = Denoiser(params, config, TSTFTHParams(), mode="zeros")
+    dn_normal = Denoiser(params, config, TSTFTHParams(),
                          mode="normal", rng=jax.random.PRNGKey(7))
-    assert dn_normal.bias_spec.shape == synth.denoiser.bias_spec.shape
-    assert not np.array_equal(dn_normal.bias_spec, synth.denoiser.bias_spec)
+    assert np.abs(dn_zeros.bias_spec).max() > 0
+    assert dn_normal.bias_spec.shape == dn_zeros.bias_spec.shape
+    assert not np.array_equal(dn_normal.bias_spec, dn_zeros.bias_spec)
 
   def test_unknown_mode_raises(self, synth):
     from waveglow_tpu.hparams import TSTFTHParams
