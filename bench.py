@@ -29,6 +29,9 @@ def main():
   parser.add_argument("--iters", type=int, default=5)
   parser.add_argument("--dtype", default="bfloat16",
                       choices=["bfloat16", "float32"])
+  parser.add_argument("--pallas", dest="pallas", action="store_true",
+                      default=None, help="force the fused Pallas WN kernels")
+  parser.add_argument("--no-pallas", dest="pallas", action="store_false")
   parser.add_argument("--train", action="store_true", default=True)
   parser.add_argument("--no-train", dest="train", action="store_false")
   parser.add_argument("--train-batch", type=int, default=8)
@@ -60,9 +63,14 @@ def main():
   mel = jnp.asarray(rng.standard_normal(
       (args.batch, hp.n_mel_channels, args.frames)).astype(np.float32))
 
+  # The fused Pallas WN kernel beats the XLA body per layer (1.3-1.5x) but
+  # XLA's cross-layer fusion wins at the stack level (docs/PERFORMANCE.md),
+  # so the default synthesis path stays XLA; --pallas measures the kernel.
+  use_pallas = bool(args.pallas)
   infer_fn = jax.jit(lambda p, m, key: infer(p, config, m, sigma=1.0,
                                              rng=key, compute_dtype=cdt,
-                                             scan_flows=hp.scan_flows))
+                                             scan_flows=hp.scan_flows,
+                                             use_pallas=use_pallas))
 
   # compile + warmup; fetch a scalar to force full execution
   # (block_until_ready alone is unreliable on tunneled platforms)

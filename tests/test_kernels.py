@@ -67,6 +67,26 @@ class TestWNLayerFused:
     np.testing.assert_allclose(np.asarray(skip_k), np.asarray(skip_r),
                                atol=1e-5)
 
+  def test_skip_accumulator_and_valid_t(self):
+    """In-kernel skip accumulation (aliased buffer) + pad-row masking."""
+    t, valid = 256, 200
+    inputs = make_inputs(t=t, c=128)
+    x, cond, w_in, b_in, w_rs, b_rs = inputs
+    # zero the pad rows of x, as the model-level contract requires
+    mask = (np.arange(t) < valid)[None, :, None]
+    x = jnp.asarray(np.asarray(x) * mask)
+    acc = jnp.asarray(np.random.default_rng(7).standard_normal(
+        (x.shape[0], t, 128)).astype(np.float32))
+    x_k, skip_k = wn_layer_fused(x, cond, w_in, b_in, w_rs, b_rs,
+                                 dilation=8, tile=128, skip_acc=acc,
+                                 valid_t=valid, interpret=True)
+    x_r, skip_r = xla_reference_layer(x, cond, w_in, b_in, w_rs, b_rs, 8)
+    np.testing.assert_allclose(np.asarray(x_k), np.asarray(x_r) * mask,
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(skip_k),
+                               np.asarray(skip_r + acc), atol=1e-5)
+    assert skip_k.dtype == jnp.float32  # inherits the accumulator dtype
+
   def test_non_tile_multiple_length(self):
     inputs = make_inputs(t=200, c=128)
     x_k, skip_k = wn_layer_fused(*inputs, dilation=8, tile=128,

@@ -3,9 +3,9 @@
 The XLA path materializes three HBM round-trips per WN layer: the gate
 pre-activations [B, T, 2C], the gated activations [B, T, C], and the
 res/skip output [B, T, 2C]. This kernel keeps all of them in VMEM for a
-time tile, so per layer only the residual stream, conditioning slice and
-skip tile touch HBM, and the VPU gate work overlaps the MXU matmuls across
-the tile pipeline.
+time tile, so per layer only the residual stream, conditioning slice, and
+skip accumulator touch HBM, and the VPU gate work overlaps the MXU matmuls
+across the tile pipeline.
 
 Math (identical to waveglow_tpu.models.wn.wn_forward's layer body,
 reference model.py:123-135):
@@ -14,17 +14,40 @@ reference model.py:123-135):
   gate = tanh(pre_t + b_t + cond_t) * sigmoid(pre_s + b_s + cond_s)
   rs   = gate @ w_rs + b_rs
   x'   = x + rs[..., :C]   (all but last layer)
-  skip = rs[..., C:]       (or rs on the last layer)
+  skip = skip_acc + (rs[..., C:] or rs on the last layer)
 
-Grid: (batch, time-tiles). The residual stream x lives in HBM (ANY) and the
-kernel DMAs an overlapping ``tile + 2*dilation`` window into VMEM scratch —
-halo windows cannot be expressed with block-granular BlockSpecs.
+Grid: one flat dimension over batch*time-tiles (TPU grids execute
+sequentially, so scratch persists across steps). The residual stream x
+lives in HBM (ANY) and each tap's shifted window is DMA'd into VMEM
+scratch — halo windows cannot be expressed with block-granular BlockSpecs.
+
+Performance notes (v5e, measured — see docs/PERFORMANCE.md):
+  * The tap DMAs are double-buffered across grid steps: step n prefetches
+    step n+1's windows before computing, so the x reads ride under the
+    matmuls. The first, un-overlapped version of this kernel measured ~22%
+    BEHIND the XLA body; the pipelined one is ~1.3x ahead.
+  * T must be a multiple of the tile: the jnp.pad of the conditioning
+    slice and the output re-slices that a ragged edge forces cost ~1.65 ms
+    per layer at production shapes — more than the kernel's entire win.
+    Callers pad the time axis once per model call instead (and pass
+    ``valid_t`` so pad rows of the residual stream stay zero, preserving
+    the reference's zero "same"-padding semantics, model.py:100-104).
+  * Sublane-misaligned HBM offsets (dilation % 8 != 0) crash the remote
+    Mosaic compiler (HTTP 500 from the compile helper), so for dilation
+    < 8 the caller passes three PRE-SHIFTED views of x and every DMA reads
+    at an aligned ``i*tile`` offset (two extra XLA shift-copies, ~0.26 ms —
+    still a clear win over the XLA body).
+  * The skip accumulator is carried through the kernel via an aliased
+    input/output: accumulating in XLA instead costs a separate [B, T, C]
+    add chain per layer. It rides at x.dtype — the f32 variant's
+    double-buffered VMEM blocks overflow the 16 MB budget at tile 1024,
+    and tile 512 costs ~1.6x.
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -35,31 +58,51 @@ DEFAULT_TILE = 1024
 MIN_ALIGNED_DILATION = 8
 
 
-def _kernel(x_hbm, cond_ref, w_in_ref, b_in_ref, w_rs_ref, b_rs_ref,
-            x_out_ref, skip_ref, x_scratch, sems, *, dilation: int, tile: int,
-            channels: int, last_layer: bool):
+def _body(x_taps, cond_ref, w_in_ref, b_in_ref, w_rs_ref, b_rs_ref, acc_ref,
+          x_out_ref, skip_ref, x_scratch, sems, *, dilation: int, tile: int,
+          channels: int, last_layer: bool, n_tiles: int, valid_t: int,
+          aligned: bool):
   c = channels
-  b = pl.program_id(0)
-  i = pl.program_id(1)
+  n = pl.program_id(0)
+  n_total = pl.num_programs(0)
 
-  # One DMA per tap into its own aligned scratch slab: DMA engines handle
-  # arbitrary HBM offsets, whereas sublane-misaligned VMEM slice reads
-  # (x_scratch[d:d+tile] for small d) crash the Mosaic compiler.
-  copies = []
+  def tap_dma(idx, slot, tap):
+    b = idx // n_tiles
+    i = idx % n_tiles
+    if aligned:
+      # One halo-padded [B, T + 2d, C] buffer; windows at i*tile + tap*d
+      # are sublane-aligned because d % 8 == 0.
+      src = x_taps[0].at[b, pl.ds(i * tile + tap * dilation, tile), :]
+    else:
+      # d < 8: three pre-shifted [B, T, C] buffers, aligned i*tile windows.
+      src = x_taps[tap].at[b, pl.ds(i * tile, tile), :]
+    return pltpu.make_async_copy(src, x_scratch.at[slot, tap],
+                                 sems.at[slot, tap])
+
+  slot = jax.lax.rem(n, 2)
+  next_slot = jax.lax.rem(n + 1, 2)
+
+  @pl.when(n == 0)
+  def _():
+    for tap in range(3):
+      tap_dma(0, 0, tap).start()
+
+  @pl.when(n + 1 < n_total)
+  def _():
+    for tap in range(3):
+      tap_dma(n + 1, next_slot, tap).start()
+
   for tap in range(3):
-    copy = pltpu.make_async_copy(
-        x_hbm.at[b, pl.ds(i * tile + tap * dilation, tile), :],
-        x_scratch.at[tap], sems.at[tap])
-    copy.start()
-    copies.append(copy)
-  for copy in copies:
-    copy.wait()
+    tap_dma(n, slot, tap).wait()
 
-  pre = jnp.dot(x_scratch[0], w_in_ref[0],
+  # Three K=C dots from separate tap slabs: a single lane-concatenated
+  # K=3C matmul was tried and measured ~6% SLOWER under Mosaic (unlike the
+  # XLA path, where im2col's bigger contraction wins ~1.6x).
+  pre = jnp.dot(x_scratch[slot, 0], w_in_ref[0],
                 preferred_element_type=jnp.float32)
-  pre += jnp.dot(x_scratch[1], w_in_ref[1],
+  pre += jnp.dot(x_scratch[slot, 1], w_in_ref[1],
                  preferred_element_type=jnp.float32)
-  pre += jnp.dot(x_scratch[2], w_in_ref[2],
+  pre += jnp.dot(x_scratch[slot, 2], w_in_ref[2],
                  preferred_element_type=jnp.float32)
   pre += b_in_ref[:].astype(jnp.float32)
   gates = pre + cond_ref[:].reshape(tile, 2 * c).astype(jnp.float32)
@@ -70,90 +113,151 @@ def _kernel(x_hbm, cond_ref, w_in_ref, b_in_ref, w_rs_ref, b_rs_ref,
   rs = jnp.dot(acts, w_rs_ref[:], preferred_element_type=jnp.float32)
   rs += b_rs_ref[:].astype(jnp.float32)
 
-  x_center = x_scratch[1]  # the zero-offset tap is the residual itself
+  x_center = x_scratch[slot, 1]  # the zero-offset tap is the residual
   if last_layer:
-    x_out_ref[:] = x_center
-    skip_ref[:] = rs.astype(skip_ref.dtype)
+    x_next = x_center
+    skip = rs
   else:
-    x_out_ref[:] = (x_center.astype(jnp.float32)
-                    + rs[:, :c]).astype(x_out_ref.dtype)
-    skip_ref[:] = rs[:, c:].astype(skip_ref.dtype)
+    x_next = (x_center.astype(jnp.float32) + rs[:, :c]).astype(x_out_ref.dtype)
+    skip = rs[:, c:]
+  if acc_ref is not None:
+    skip = skip + acc_ref[:].astype(jnp.float32)
+  skip_ref[:] = skip.astype(skip_ref.dtype)
+
+  if valid_t < n_tiles * tile:
+    # Rows past the caller's model-level time padding must stay exactly
+    # zero in the residual stream: the next layer's taps read them as the
+    # reference's zero "same" padding. (Skip rows need no mask — nothing
+    # convolves over the skip accumulator and pad rows are sliced off.)
+    i = n % n_tiles
+    row = jax.lax.broadcasted_iota(jnp.int32, (tile, c), 0)
+    keep = (i * tile + row) < valid_t
+    x_next = jnp.where(keep, x_next, jnp.zeros_like(x_next))
+  x_out_ref[:] = x_next
 
 
 def wn_layer_fused(x: jnp.ndarray, cond_i: jnp.ndarray, w_in: jnp.ndarray,
                    b_in: jnp.ndarray, w_rs: jnp.ndarray, b_rs: jnp.ndarray,
                    dilation: int, tile: int = DEFAULT_TILE,
-                   interpret: bool = None
+                   skip_acc: Optional[jnp.ndarray] = None,
+                   skip_f32: bool = False,
+                   valid_t: Optional[int] = None, interpret: bool = None
                    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
   if interpret is None:
     # Mosaic lowering needs a real TPU; everywhere else use the interpreter.
     interpret = jax.devices()[0].platform != "tpu"
-  return _wn_layer_fused(x, cond_i, w_in, b_in, w_rs, b_rs,
-                         dilation=dilation, tile=tile, interpret=interpret)
+  t = x.shape[1]
+  if t % tile != 0:
+    # Ragged time axis: shrink the tile to the largest divisor of t that is
+    # a multiple of 8 sublanes (callers on the hot path pad t instead).
+    tile = max((s for s in range(8, min(tile, t) + 1, 8) if t % s == 0),
+               default=t)
+  if valid_t is None:
+    valid_t = t
+  return _wn_layer_fused(x, cond_i, w_in, b_in, w_rs, b_rs, skip_acc,
+                         dilation=dilation, tile=tile, skip_f32=skip_f32,
+                         valid_t=valid_t, interpret=interpret)
 
 
-@functools.partial(jax.jit, static_argnames=("dilation", "tile", "interpret"))
+@functools.partial(jax.jit, static_argnames=("dilation", "tile", "skip_f32",
+                                             "valid_t", "interpret"))
 def _wn_layer_fused(x: jnp.ndarray, cond_i: jnp.ndarray, w_in: jnp.ndarray,
                     b_in: jnp.ndarray, w_rs: jnp.ndarray, b_rs: jnp.ndarray,
-                    dilation: int, tile: int = DEFAULT_TILE,
-                    interpret: bool = False
+                    skip_acc: Optional[jnp.ndarray], dilation: int,
+                    tile: int = DEFAULT_TILE, skip_f32: bool = False,
+                    valid_t: int = None, interpret: bool = False
                     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-  """One fused WN layer.
+  """One fused WN layer. T must be a multiple of ``tile``.
 
   Args:
-    x:      [B, T, C] residual stream (bf16 or f32).
+    x:      [B, T, C] residual stream (bf16 or f32); rows >= valid_t zero.
     cond_i: [B, T, 2, C] this layer's conditioning slice (pre-activation
             conditioning, i.e. cond projection + nothing else).
     w_in:   [3, C, 2C] dilated-conv taps.
     b_in:   [2, C] or [2C] conv bias.
     w_rs:   [C, 2C] res/skip weights ([C, C] on the last layer).
     b_rs:   [2, C] / [2C] (or [C]) res/skip bias.
+    skip_acc: optional [B, T, C] f32 running skip sum, accumulated in-kernel
+            (the buffer is donated/aliased into the skip output).
+    valid_t: rows >= valid_t of x_next are forced to zero (time padding).
   Returns:
     (x_next [B, T, C], skip [B, T, C]) — on the last layer x_next is x
-    unchanged and skip has C columns.
+    unchanged. skip is f32 when ``skip_acc`` is given, else x.dtype.
   """
-  if not interpret:
-    assert dilation % MIN_ALIGNED_DILATION == 0, (
-        f"dilation {dilation} < {MIN_ALIGNED_DILATION}: sublane-misaligned "
-        "windows crash the TPU compiler; use the XLA path")
   batch, t, c = x.shape
+  assert t % tile == 0, f"t={t} not a multiple of tile={tile}"
   rs_out = w_rs.shape[-1]
   last_layer = rs_out == c
   b_in = b_in.reshape(-1)
   b_rs = b_rs.reshape(-1)
+  n_tiles = t // tile
+  aligned = dilation % MIN_ALIGNED_DILATION == 0
 
-  t_pad = (-t) % tile
-  n_tiles = (t + t_pad) // tile
-  x_p = jnp.pad(x, ((0, 0), (dilation, dilation + t_pad), (0, 0)))
-  cond_p = jnp.pad(cond_i, ((0, 0), (0, t_pad), (0, 0), (0, 0)))
+  if aligned:
+    x_views = (jnp.pad(x, ((0, 0), (dilation, dilation), (0, 0))),)
+  else:
+    # Pre-shifted views so every DMA offset is the sublane-aligned i*tile.
+    x_m = jnp.pad(x[:, :t - dilation, :], ((0, 0), (dilation, 0), (0, 0)))
+    x_pl = jnp.pad(x[:, dilation:, :], ((0, 0), (0, dilation), (0, 0)))
+    x_views = (x_m, x, x_pl)
 
-  kernel = functools.partial(_kernel, dilation=dilation, tile=tile,
-                             channels=c, last_layer=last_layer)
+  def kernel(*refs):
+    x_refs = refs[:len(x_views)]
+    rest = refs[len(x_views):]
+    if skip_acc is None:
+      (cond_ref, w_in_ref, b_in_ref, w_rs_ref, b_rs_ref,
+       x_out_ref, skip_ref, scratch, sems) = rest
+      acc_ref = None
+    else:
+      (cond_ref, w_in_ref, b_in_ref, w_rs_ref, b_rs_ref, acc_ref,
+       x_out_ref, skip_ref, scratch, sems) = rest
+    _body(x_refs, cond_ref, w_in_ref, b_in_ref, w_rs_ref, b_rs_ref, acc_ref,
+          x_out_ref, skip_ref, scratch, sems, dilation=dilation, tile=tile,
+          channels=c, last_layer=last_layer, n_tiles=n_tiles,
+          valid_t=valid_t, aligned=aligned)
 
+  tile_spec = pl.BlockSpec((None, tile, c),
+                           lambda n: (n // n_tiles, n % n_tiles, 0))
+  in_specs = (
+      [pl.BlockSpec(memory_space=pl.ANY)] * len(x_views) + [
+          pl.BlockSpec((None, tile, 2, c),
+                       lambda n: (n // n_tiles, n % n_tiles, 0, 0)),
+          pl.BlockSpec((3, c, 2 * c), lambda n: (0, 0, 0)),
+          pl.BlockSpec((2 * c,), lambda n: (0,)),
+          pl.BlockSpec((c, rs_out), lambda n: (0, 0)),
+          pl.BlockSpec((rs_out,), lambda n: (0,)),
+      ])
+  inputs = list(x_views) + [cond_i, w_in, b_in, w_rs, b_rs]
+  aliases = {}
+  skip_dtype = jnp.float32 if skip_f32 else x.dtype
+  if skip_acc is not None:
+    in_specs.append(tile_spec)
+    inputs.append(skip_acc)
+    aliases = {len(inputs) - 1: 1}  # skip_acc buffer becomes the skip output
+    skip_dtype = skip_acc.dtype
+
+  flops_per_step = 2 * tile * c * (3 * 2 * c + rs_out)
   x_next, skip = pl.pallas_call(
       kernel,
-      grid=(batch, n_tiles),
-      in_specs=[
-          pl.BlockSpec(memory_space=pl.ANY),                    # x (HBM)
-          pl.BlockSpec((None, tile, 2, c), lambda b, i: (b, i, 0, 0)),
-          pl.BlockSpec((3, c, 2 * c), lambda b, i: (0, 0, 0)),
-          pl.BlockSpec((2 * c,), lambda b, i: (0,)),
-          pl.BlockSpec((c, rs_out), lambda b, i: (0, 0)),
-          pl.BlockSpec((rs_out,), lambda b, i: (0,)),
-      ],
-      out_specs=(
-          pl.BlockSpec((None, tile, c), lambda b, i: (b, i, 0)),
-          pl.BlockSpec((None, tile, c), lambda b, i: (b, i, 0)),
-      ),
+      grid=(batch * n_tiles,),
+      in_specs=in_specs,
+      out_specs=(tile_spec, tile_spec),
       out_shape=(
-          jax.ShapeDtypeStruct((batch, t + t_pad, c), x.dtype),
-          jax.ShapeDtypeStruct((batch, t + t_pad, c), x.dtype),
+          jax.ShapeDtypeStruct((batch, t, c), x.dtype),
+          jax.ShapeDtypeStruct((batch, t, c), skip_dtype),
       ),
       scratch_shapes=[
-          pltpu.VMEM((3, tile, c), x.dtype),
-          pltpu.SemaphoreType.DMA((3,)),
+          pltpu.VMEM((2, 3, tile, c), x.dtype),
+          pltpu.SemaphoreType.DMA((2, 3)),
       ],
+      input_output_aliases=aliases,
+      cost_estimate=pl.CostEstimate(
+          flops=batch * n_tiles * flops_per_step,
+          bytes_accessed=(3 * x.size + cond_i.size + 2 * batch * t * c)
+          * x.dtype.itemsize,
+          transcendentals=2 * batch * t * c,
+      ),
       interpret=interpret,
-  )(x_p, cond_p, w_in, b_in, w_rs, b_rs)
+  )(*inputs)
 
-  return x_next[:, :t, :], skip[:, :t, :]
+  return x_next, skip

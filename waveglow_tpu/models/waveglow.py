@@ -300,6 +300,19 @@ def infer(params: Dict, config: WaveGlowConfig, spect: jnp.ndarray,
     for n, s in zip(noise, shapes):
       assert tuple(n.shape) == s, f"noise shape {n.shape} != expected {s}"
 
+  valid_t = None
+  if use_pallas:
+    # The fused WN kernel wants T as a multiple of its tile: pad the time
+    # axis ONCE here (per-layer ragged-edge padding costs more than the
+    # kernel saves). Pad rows are garbage the kernel masks out of the
+    # residual stream (valid_t); they are sliced off before un-squeezing.
+    from waveglow_tpu.kernels.wn_layer import DEFAULT_TILE
+    t_pad = (-n_groups) % DEFAULT_TILE
+    if t_pad:
+      valid_t = n_groups
+      spect_g = jnp.pad(spect_g, ((0, 0), (0, t_pad), (0, 0)))
+      noise = [jnp.pad(z, ((0, 0), (0, t_pad), (0, 0))) for z in noise]
+
   audio_g = sigma * noise[0]
   noise_idx = 1
 
@@ -310,7 +323,7 @@ def infer(params: Dict, config: WaveGlowConfig, spect: jnp.ndarray,
     wn_out = wn_forward(flow["wn"], audio_0, spect_g,
                         config.n_channels, config.n_layers,
                         config.kernel_size, compute_dtype=compute_dtype,
-                        use_pallas=use_pallas)
+                        use_pallas=use_pallas, valid_t=valid_t)
     b = wn_out[..., :n_half]
     s = wn_out[..., n_half:]
     audio_1 = (audio_1 - b) * jnp.exp(-s)
@@ -338,4 +351,5 @@ def infer(params: Dict, config: WaveGlowConfig, spect: jnp.ndarray,
                                   axis=-1)
         noise_idx += 1
 
+  audio_g = audio_g[:, :n_groups, :]  # drop kernel time padding (if any)
   return audio_g.reshape(batch, n_groups * config.n_group)

@@ -100,7 +100,8 @@ def wn_condition(params: Dict, spect: jnp.ndarray,
 def wn_forward(params: Dict, audio0: jnp.ndarray, spect: jnp.ndarray,
                n_channels: int, n_layers: int, kernel_size: int,
                cond_all: Optional[jnp.ndarray] = None,
-               compute_dtype=None, use_pallas: bool = False) -> jnp.ndarray:
+               compute_dtype=None, use_pallas: bool = False,
+               valid_t: Optional[int] = None) -> jnp.ndarray:
   """[B, T, n_half] x [B, T, n_mels*n_group] -> [B, T, 2*n_half] = (b, log_s).
 
   ``cond_all`` may carry the precomputed conditioning projection
@@ -109,10 +110,13 @@ def wn_forward(params: Dict, audio0: jnp.ndarray, spect: jnp.ndarray,
 
   ``use_pallas`` routes the per-layer body through the fused Pallas kernel
   (kernel_size 3 only; inference path — the kernel has no custom VJP yet).
+  ``valid_t`` is the true time length when the caller padded T to a kernel
+  tile multiple (Pallas path only).
   """
   if use_pallas and kernel_size == 3:
     return _wn_forward_pallas(params, audio0, spect, n_channels, n_layers,
-                              cond_all=cond_all, compute_dtype=compute_dtype)
+                              cond_all=cond_all, compute_dtype=compute_dtype,
+                              valid_t=valid_t)
   c = n_channels
   half_k = kernel_size // 2
   # The residual stream x stays float32 in both modes (it accumulates over
@@ -173,18 +177,26 @@ def wn_forward(params: Dict, audio0: jnp.ndarray, spect: jnp.ndarray,
 def _wn_forward_pallas(params: Dict, audio0: jnp.ndarray, spect: jnp.ndarray,
                        n_channels: int, n_layers: int,
                        cond_all: Optional[jnp.ndarray] = None,
-                       compute_dtype=None) -> jnp.ndarray:
-  """WN stack with fused Pallas kernels on sublane-aligned dilations.
+                       compute_dtype=None,
+                       valid_t: Optional[int] = None) -> jnp.ndarray:
+  """WN stack with one fused Pallas kernel per layer (see kernels/wn_layer.py).
 
-  Layers with dilation < 8 (sublane granularity) run the XLA body — their
-  misaligned halo slices crash the TPU compiler (see kernels/wn_layer.py).
+  The skip accumulator is threaded THROUGH the kernels as an aliased
+  buffer (a separate XLA add chain costs ~0.5 ms/layer at production
+  shapes). ``valid_t`` marks the true time length when the caller padded T
+  to a tile multiple: pad rows of the residual stream are forced to zero so
+  the taps read them exactly like the reference's zero "same" padding.
   """
-  from waveglow_tpu.kernels.wn_layer import MIN_ALIGNED_DILATION, wn_layer_fused
+  from waveglow_tpu.kernels.wn_layer import wn_layer_fused
 
   dtype = compute_dtype or jnp.float32
   c = n_channels
+  t = audio0.shape[1]
   x = conv1x1(audio0, materialize(params["start"]), params["start"]["b"],
               compute_dtype=compute_dtype, out_dtype=dtype)
+  if valid_t is not None and valid_t < t:
+    keep = (jnp.arange(t) < valid_t)[None, :, None]
+    x = jnp.where(keep, x, jnp.zeros_like(x))  # fuses into the start matmul
   w_cond = materialize(params["cond"]) if cond_all is None else None
 
   output = None
@@ -194,7 +206,6 @@ def _wn_forward_pallas(params: Dict, audio0: jnp.ndarray, spect: jnp.ndarray,
     res_skip = params["res_skip"][i]
     w_in = materialize(in_layer).reshape(3, c, 2 * c).astype(dtype)
     w_rs = materialize(res_skip).reshape(c, -1).astype(dtype)
-    last = w_rs.shape[-1] == c
 
     if cond_all is None:
       cond_i = _mm(spect, w_cond[:, i].reshape(-1, 2 * c), compute_dtype)
@@ -203,26 +214,15 @@ def _wn_forward_pallas(params: Dict, audio0: jnp.ndarray, spect: jnp.ndarray,
     else:
       cond_i = cond_all[..., i, :, :].astype(dtype)
 
-    if dilation % MIN_ALIGNED_DILATION == 0 or jax.devices()[0].platform != "tpu":
-      x, skip = wn_layer_fused(
-          x, cond_i, w_in,
-          in_layer["b"].astype(jnp.float32), w_rs,
-          res_skip["b"].astype(jnp.float32), dilation=dilation)
-    else:
-      taps = jnp.concatenate(
-          [shift_time(x, (tap - 1) * dilation) for tap in range(3)], axis=-1)
-      pre = _mm(taps, w_in.reshape(3 * c, 2 * c), compute_dtype)
-      pre = pre + in_layer["b"].reshape(-1).astype(pre.dtype)
-      gates = pre + cond_i.reshape(pre.shape).astype(pre.dtype)
-      acts = jnp.tanh(gates[..., :c]) * jax.nn.sigmoid(gates[..., c:])
-      rs = _mm(acts.astype(dtype), w_rs, compute_dtype)
-      rs = rs + res_skip["b"].reshape(-1).astype(rs.dtype)
-      if last:
-        skip = rs
-      else:
-        x = (x.astype(jnp.float32) + rs[..., :c]).astype(dtype)
-        skip = rs[..., c:]
-
+    # In-kernel skip accumulation (skip_acc=...) is implemented and tested
+    # in interpret mode, but this environment's Mosaic compiler rejects the
+    # aliased-accumulator variant at tile 1024 (HTTP 500) and tile 512
+    # costs ~1.6x, so the accumulate stays in XLA here.
+    x, skip = wn_layer_fused(
+        x, cond_i, w_in,
+        in_layer["b"].astype(jnp.float32), w_rs,
+        res_skip["b"].astype(jnp.float32), dilation=dilation,
+        valid_t=valid_t)
     skip = skip.astype(jnp.float32)
     output = skip if output is None else output + skip
 
