@@ -116,3 +116,8 @@ class TestPallasModelIntegration:
     w_xla = np.asarray(infer(params, cfg, mel, noise=noise))
     w_pl = np.asarray(infer(params, cfg, mel, noise=noise, use_pallas=True))
     np.testing.assert_allclose(w_pl, w_xla, atol=2e-4)
+    # scan_flows + Pallas + model-level time padding together (the exact
+    # combination bench.py --pallas runs on hardware)
+    w_pl_scan = np.asarray(infer(params, cfg, mel, noise=noise,
+                                 use_pallas=True, scan_flows=True))
+    np.testing.assert_allclose(w_pl_scan, w_xla, atol=2e-4)

@@ -1,0 +1,120 @@
+"""Chunked (constant-memory) synthesis: exactness vs one-call infer."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from waveglow_tpu.models.waveglow import (WaveGlowConfig, fuse_for_inference,
+                                          infer, init_params)
+from waveglow_tpu.inference.streaming import (block_noise, infer_chunked,
+                                              receptive_halo_frames)
+
+CFG = WaveGlowConfig(n_flows=4, n_channels=64, n_layers=3)
+
+
+def _model(seed=0):
+  """Fused random params with NON-zero end convs.
+
+  Fresh models zero-init the end conv (couplings start as identity,
+  reference model.py:88-92), which would make mel/halo exactness checks
+  vacuous — the conditioning path would never reach the output.
+  """
+  params = init_params(CFG, seed=seed)
+  rng = np.random.default_rng(seed + 100)
+  for flow in params["flows"]:
+    end = flow["wn"]["end"]
+    end["w"] = (rng.standard_normal(end["w"].shape) * 0.2).astype(np.float32)
+    end["b"] = (rng.standard_normal(end["b"].shape) * 0.05).astype(np.float32)
+  return fuse_for_inference(params)
+
+
+class TestBlockNoise:
+
+  def test_position_keyed_consistency(self):
+    """Any window covering a frame draws the same values there."""
+    key = jax.random.PRNGKey(3)
+    full = block_noise(key, CFG, batch=2, start_frame=0, n_frames=20)
+    part = block_noise(key, CFG, batch=2, start_frame=10, n_frames=5)
+    gpf = 256 // CFG.n_group
+    for f, p in zip(full, part):
+      np.testing.assert_array_equal(np.asarray(f[:, 10 * gpf:15 * gpf]),
+                                    np.asarray(p))
+
+  def test_matches_infer_contract(self):
+    """Shapes line up with infer_noise_shapes and infer accepts them."""
+    key = jax.random.PRNGKey(0)
+    mel = jnp.zeros((1, 80, 6))
+    noise = block_noise(key, CFG, batch=1, start_frame=0, n_frames=6)
+    wav = infer(_model(), CFG, mel, noise=noise)
+    assert wav.shape == (1, 6 * 256)
+
+
+class TestInferChunked:
+
+  def test_exact_vs_full(self):
+    params = _model()
+    rng = np.random.default_rng(0)
+    frames = 40
+    mel = jnp.asarray(rng.standard_normal((2, 80, frames)).astype(np.float32))
+    key = jax.random.PRNGKey(7)
+
+    full = infer(params, CFG, mel,
+                 noise=block_noise(key, CFG, 2, 0, frames))
+    chunked = infer_chunked(params, CFG, mel, rng=key, chunk_frames=8)
+    assert chunked.shape == full.shape == (2, frames * 256)
+    np.testing.assert_allclose(np.asarray(chunked), np.asarray(full),
+                               atol=1e-5)
+
+  def test_exact_with_scan_flows(self):
+    params = _model(seed=1)
+    rng = np.random.default_rng(1)
+    mel = jnp.asarray(rng.standard_normal((1, 80, 30)).astype(np.float32))
+    key = jax.random.PRNGKey(9)
+    full = infer(params, CFG, mel, noise=block_noise(key, CFG, 1, 0, 30),
+                 scan_flows=True)
+    chunked = infer_chunked(params, CFG, mel, rng=key, chunk_frames=7,
+                            scan_flows=True)
+    np.testing.assert_allclose(np.asarray(chunked), np.asarray(full),
+                               atol=1e-5)
+
+  def test_short_input_falls_back_to_single_call(self):
+    params = _model()
+    mel = jnp.zeros((1, 80, 10))
+    key = jax.random.PRNGKey(0)
+    full = infer(params, CFG, mel, noise=block_noise(key, CFG, 1, 0, 10))
+    chunked = infer_chunked(params, CFG, mel, rng=key, chunk_frames=64)
+    np.testing.assert_array_equal(np.asarray(chunked), np.asarray(full))
+
+  def test_halo_too_small_diverges(self):
+    """Negative control: without the receptive-field halo the chunk
+    boundaries would be wrong — proves the exactness test has teeth."""
+    params = _model()
+    rng = np.random.default_rng(2)
+    mel = jnp.asarray(rng.standard_normal((1, 80, 40)).astype(np.float32))
+    key = jax.random.PRNGKey(7)
+    full = infer(params, CFG, mel, noise=block_noise(key, CFG, 1, 0, 40))
+    bad = infer_chunked(params, CFG, mel, rng=key, chunk_frames=8,
+                        halo_frames=1)
+    assert not np.allclose(np.asarray(bad), np.asarray(full), atol=1e-5)
+
+  def test_derived_halo_is_tight(self):
+    """halo-1 must diverge somewhere across seeds — the derived halo is not
+    wastefully large. (A probabilistic property; several seeds hedge it.)"""
+    halo = receptive_halo_frames(CFG)
+    assert halo == int(np.ceil(4 * (2 ** 3 - 1) / 32)) + 4
+    diverged = False
+    for seed in range(3):
+      params = _model(seed=seed)
+      rng = np.random.default_rng(seed)
+      mel = jnp.asarray(
+          rng.standard_normal((1, 80, 48)).astype(np.float32) * 2.0)
+      key = jax.random.PRNGKey(seed)
+      full = infer(params, CFG, mel, noise=block_noise(key, CFG, 1, 0, 48))
+      near = infer_chunked(params, CFG, mel, rng=key, chunk_frames=8,
+                           halo_frames=halo - 2)
+      if not np.allclose(np.asarray(near), np.asarray(full), atol=1e-6):
+        diverged = True
+        break
+    assert diverged

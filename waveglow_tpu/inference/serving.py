@@ -81,6 +81,23 @@ class BatchSynthesizer:
                       jax.random.PRNGKey(seed))
     return np.asarray(wav)
 
+  def infer_chunked(self, mel: np.ndarray, *, sigma: float = 1.0,
+                    seed: int = 0, chunk_frames: int = 1024) -> np.ndarray:
+    """Single utterance [n_mels, frames] -> [T] at CONSTANT activation
+    memory: fixed mel windows with receptive-field halos slide over the
+    utterance on one chip (exact vs one-call synthesis; see
+    waveglow_tpu.inference.streaming). Use for utterances too long for
+    HBM — unlike :meth:`infer_long` it needs no multi-chip mesh.
+    """
+    from waveglow_tpu.inference.streaming import infer_chunked
+    cdt = (jnp.bfloat16 if self.hparams.compute_dtype == "bfloat16" else None)
+    wav = infer_chunked(self.params, self.config,
+                        jnp.asarray(mel, dtype=jnp.float32)[None],
+                        sigma=sigma, rng=jax.random.PRNGKey(seed),
+                        chunk_frames=chunk_frames, compute_dtype=cdt,
+                        scan_flows=self.hparams.scan_flows)
+    return np.asarray(wav)[0]
+
   def infer_long(self, mel: np.ndarray, *, sigma: float = 1.0,
                  seed: int = 0) -> np.ndarray:
     """Single long utterance [n_mels, frames] -> [T], time-sharded.

@@ -1,0 +1,146 @@
+"""Chunked (constant-memory) synthesis for unbounded-length utterances.
+
+The reference synthesizes an utterance in one device call, so activation
+memory grows linearly with length (reference model.py:223-274 — the time
+axis flows through every conv unchunked, SURVEY §5.7). Every WaveGlow op is
+local in time, so a chunk of output depends only on a bounded mel/noise
+neighborhood:
+
+  * the ConvTranspose upsampler reads ``kernel/stride`` = 4 mel frames per
+    sample (reference model.py:145-150);
+  * each flow's WN reaches ±(kernel_size-1)/2 * (2^n_layers - 1) audio
+    groups (the dilation sum, reference model.py:98-104), and the 12 flows
+    compose, so a synthesized group sees at most ``n_flows`` times that.
+
+:func:`infer_chunked` therefore slides a FIXED-SIZE mel window (chunk +
+receptive-field halo on both sides) over the utterance, runs the ordinary
+jitted :func:`waveglow_tpu.models.waveglow.infer` on each window, and keeps
+only the interior samples. TPU-native details:
+
+  * the window size is constant (edge windows shift instead of shrink), so
+    every chunk reuses ONE compiled program;
+  * z-noise is generated per mel frame with a position-keyed PRNG
+    (``fold_in(key, (tensor, absolute_frame))``), so overlapping windows
+    draw IDENTICAL noise in their shared halo region — chunked output is
+    bit-identical to single-call synthesis given the same key;
+  * the window is carved out with ``lax.dynamic_slice`` inside jit; the mel
+    stays device-resident.
+
+Memory: activations are bounded by the window (~2 MB of cond activations
+per window frame at 12x256), instead of the full utterance.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+
+from waveglow_tpu.models.waveglow import (UPSAMPLE_KERNEL, UPSAMPLE_STRIDE,
+                                          WaveGlowConfig, infer,
+                                          infer_noise_shapes)
+
+
+def receptive_halo_frames(config: WaveGlowConfig) -> int:
+  """Mel frames one synthesized sample can depend on, per side.
+
+  WN reach per flow: (k-1)/2 * sum(dilations) audio groups; flows compose
+  additively. Plus the upsampler's kernel/stride frames.
+  """
+  per_flow_groups = ((config.kernel_size - 1) // 2) * (2 ** config.n_layers - 1)
+  halo_groups = config.n_flows * per_flow_groups
+  groups_per_frame = UPSAMPLE_STRIDE // config.n_group
+  upsample_frames = UPSAMPLE_KERNEL // UPSAMPLE_STRIDE
+  return math.ceil(halo_groups / groups_per_frame) + upsample_frames
+
+
+def block_noise(key: jax.Array, config: WaveGlowConfig, batch: int,
+                start_frame, n_frames: int) -> List[jnp.ndarray]:
+  """Position-keyed standard-normal noise for groups of frames
+  [start_frame, start_frame + n_frames).
+
+  Each (noise tensor, absolute frame) pair gets its own fold_in key, so any
+  window covering a frame draws the same values — the property that makes
+  chunked synthesis exact. ``start_frame`` may be traced.
+  """
+  groups_per_frame = UPSAMPLE_STRIDE // config.n_group
+  shapes = infer_noise_shapes(config, batch, n_frames * groups_per_frame)
+  frames = start_frame + jnp.arange(n_frames)
+  noise = []
+  for i, (b, _, ch) in enumerate(shapes):
+    key_i = jax.random.fold_in(key, i)
+
+    def per_frame(f, _key_i=key_i, _b=b, _ch=ch):
+      return jax.random.normal(jax.random.fold_in(_key_i, f),
+                               (_b, groups_per_frame, _ch), dtype=jnp.float32)
+
+    blocks = jax.vmap(per_frame, out_axes=1)(frames)  # [B, W, gpf, ch]
+    noise.append(blocks.reshape(b, n_frames * groups_per_frame, ch))
+  return noise
+
+
+def infer_chunked(params, config: WaveGlowConfig, mel: jnp.ndarray, *,
+                  sigma: float = 1.0, rng: Optional[jax.Array] = None,
+                  chunk_frames: int = 256,
+                  halo_frames: Optional[int] = None,
+                  compute_dtype=None, scan_flows: bool = False,
+                  use_pallas: bool = False) -> jnp.ndarray:
+  """Constant-memory mel->wav synthesis, exact vs one-call :func:`infer`.
+
+  Args:
+    mel: [B, n_mels, frames].
+    chunk_frames: frames emitted per window; window = chunk + 2*halo.
+    halo_frames: receptive-field halo (default: derived from the config).
+  Returns:
+    waveform [B, frames * UPSAMPLE_STRIDE], equal (bitwise, same dtype
+    path) to ``infer(params, config, mel, noise=block_noise(...))``.
+  """
+  if chunk_frames < 1:
+    raise ValueError(f"chunk_frames must be >= 1, got {chunk_frames}")
+  if rng is None:
+    rng = jax.random.PRNGKey(0)
+  batch, _, total_frames = mel.shape
+  if halo_frames is None:
+    halo_frames = receptive_halo_frames(config)
+  window = chunk_frames + 2 * halo_frames
+
+  if total_frames <= window:
+    noise = block_noise(rng, config, batch, 0, total_frames)
+    return infer(params, config, mel, sigma=sigma, noise=noise,
+                 compute_dtype=compute_dtype, scan_flows=scan_flows,
+                 use_pallas=use_pallas)
+
+  dtype_key = None if compute_dtype is None else jnp.dtype(compute_dtype).name
+  run_window = _window_fn(config, window, dtype_key, scan_flows, use_pallas)
+
+  pieces = []
+  for s in range(0, total_frames, chunk_frames):
+    e = min(s + chunk_frames, total_frames)
+    a = max(0, min(s - halo_frames, total_frames - window))
+    wav_w = run_window(params, mel, a, jnp.float32(sigma), rng)
+    lo = (s - a) * UPSAMPLE_STRIDE
+    pieces.append(wav_w[:, lo:lo + (e - s) * UPSAMPLE_STRIDE])
+  return jnp.concatenate(pieces, axis=1)
+
+
+@functools.lru_cache(maxsize=16)
+def _window_fn(config: WaveGlowConfig, window: int, dtype_key,
+               scan_flows: bool, use_pallas: bool):
+  """One jitted fixed-window program, cached so repeated calls (and every
+  chunk of every call) reuse a single compilation."""
+  cdt = None if dtype_key is None else jnp.dtype(dtype_key)
+
+  @jax.jit
+  def run_window(params, mel_full, start, sigma, key):
+    batch, n_mels, _ = mel_full.shape
+    mel_w = jax.lax.dynamic_slice(
+        mel_full, (0, 0, start), (batch, n_mels, window))
+    noise = block_noise(key, config, batch, start, window)
+    return infer(params, config, mel_w, sigma=sigma, noise=noise,
+                 compute_dtype=cdt, scan_flows=scan_flows,
+                 use_pallas=use_pallas)
+
+  return run_window
