@@ -64,6 +64,12 @@ def _add_common(parser: ArgumentParser) -> None:
                       "random if unset")
   parser.add_argument("--include-stats", action="store_true",
                       help="compute quality statistics (slower)")
+  parser.add_argument("--chunk-frames",
+                      type=get_optional(parse_non_negative_integer),
+                      default=None,
+                      help="synthesize in fixed mel windows of this many "
+                           "frames (constant activation memory; exact vs "
+                           "one-call synthesis) — for very long inputs")
   parser.add_argument("-out", "--output-directory", type=parse_path,
                       default=None,
                       help="custom output directory if FOLDER should not "
@@ -145,7 +151,8 @@ def _run(ns: Namespace, source: str) -> bool:
       mel = np.asarray(mel_op.get_mel_from_file(path))
 
     result = synth.infer(mel, sigma=ns.sigma,
-                         denoiser_strength=ns.denoiser_strength, seed=seed)
+                         denoiser_strength=ns.denoiser_strength, seed=seed,
+                         chunk_frames=ns.chunk_frames)
     wav_norm = normalize_wav(result.wav_denoised)
 
     wav_out.parent.mkdir(parents=True, exist_ok=True)

@@ -40,8 +40,9 @@ import jax
 import jax.numpy as jnp
 
 from waveglow_tpu.models.waveglow import (UPSAMPLE_KERNEL, UPSAMPLE_STRIDE,
-                                          WaveGlowConfig, infer,
-                                          infer_noise_shapes)
+                                          WaveGlowConfig, block_noise, infer)
+
+__all__ = ["block_noise", "infer_chunked", "receptive_halo_frames"]
 
 
 def receptive_halo_frames(config: WaveGlowConfig) -> int:
@@ -55,31 +56,6 @@ def receptive_halo_frames(config: WaveGlowConfig) -> int:
   groups_per_frame = UPSAMPLE_STRIDE // config.n_group
   upsample_frames = UPSAMPLE_KERNEL // UPSAMPLE_STRIDE
   return math.ceil(halo_groups / groups_per_frame) + upsample_frames
-
-
-def block_noise(key: jax.Array, config: WaveGlowConfig, batch: int,
-                start_frame, n_frames: int) -> List[jnp.ndarray]:
-  """Position-keyed standard-normal noise for groups of frames
-  [start_frame, start_frame + n_frames).
-
-  Each (noise tensor, absolute frame) pair gets its own fold_in key, so any
-  window covering a frame draws the same values — the property that makes
-  chunked synthesis exact. ``start_frame`` may be traced.
-  """
-  groups_per_frame = UPSAMPLE_STRIDE // config.n_group
-  shapes = infer_noise_shapes(config, batch, n_frames * groups_per_frame)
-  frames = start_frame + jnp.arange(n_frames)
-  noise = []
-  for i, (b, _, ch) in enumerate(shapes):
-    key_i = jax.random.fold_in(key, i)
-
-    def per_frame(f, _key_i=key_i, _b=b, _ch=ch):
-      return jax.random.normal(jax.random.fold_in(_key_i, f),
-                               (_b, groups_per_frame, _ch), dtype=jnp.float32)
-
-    blocks = jax.vmap(per_frame, out_axes=1)(frames)  # [B, W, gpf, ch]
-    noise.append(blocks.reshape(b, n_frames * groups_per_frame, ch))
-  return noise
 
 
 def infer_chunked(params, config: WaveGlowConfig, mel: jnp.ndarray, *,

@@ -92,11 +92,16 @@ class Synthesizer:
 
   def infer(self, mel: np.ndarray, *, sigma: float = 1.0,
             denoiser_strength: float = 0.0005, seed: int = 0,
-            noise: Optional[Sequence[np.ndarray]] = None) -> InferenceResult:
+            noise: Optional[Sequence[np.ndarray]] = None,
+            chunk_frames: Optional[int] = None) -> InferenceResult:
     """mel [n_mels, frames] (or [1, n_mels, frames]) -> InferenceResult.
 
     ``noise``: optional injected standard-normal tensors in the draw order
     of waveglow_tpu.models.waveglow.infer_noise_shapes (parity harnesses).
+    ``chunk_frames``: synthesize in fixed mel windows of this size (plus the
+    model's receptive-field halo) at constant activation memory — for
+    utterances too long to fit HBM in one call (see
+    waveglow_tpu.inference.streaming).
     """
     timepoint = datetime.datetime.now()
     mel = jnp.asarray(mel, dtype=jnp.float32)
@@ -108,6 +113,12 @@ class Synthesizer:
     if noise is not None:
       wav = self._infer_noise(self.params, mel, sigma_arr,
                               [jnp.asarray(n) for n in noise])
+    elif chunk_frames is not None:
+      from waveglow_tpu.inference.streaming import infer_chunked
+      wav = infer_chunked(self.params, self.config, mel, sigma=sigma,
+                          rng=jax.random.PRNGKey(seed),
+                          chunk_frames=chunk_frames, compute_dtype=self._cdt,
+                          scan_flows=self.hparams.scan_flows)
     else:
       wav = self._infer_keyed(self.params, mel, sigma_arr,
                               jax.random.PRNGKey(seed))

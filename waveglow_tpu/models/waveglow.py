@@ -248,6 +248,33 @@ def forward(params: Dict, config: WaveGlowConfig, spect: jnp.ndarray,
   return z, log_s_list, log_det_w_list
 
 
+def block_noise(key: jax.Array, config: WaveGlowConfig, batch: int,
+                start_frame, n_frames: int) -> List[jnp.ndarray]:
+  """Position-keyed standard-normal synthesis noise for mel frames
+  [start_frame, start_frame + n_frames).
+
+  Each (noise tensor, absolute frame) pair draws from its own
+  ``fold_in`` key, so any window covering a frame draws the same values —
+  this is what makes chunked synthesis (inference/streaming.py) exactly
+  equal to one-call synthesis for the same key. ``start_frame`` may be a
+  traced value.
+  """
+  groups_per_frame = UPSAMPLE_STRIDE // config.n_group
+  shapes = infer_noise_shapes(config, batch, n_frames * groups_per_frame)
+  frames = start_frame + jnp.arange(n_frames)
+  noise = []
+  for i, (b, _, ch) in enumerate(shapes):
+    key_i = jax.random.fold_in(key, i)
+
+    def per_frame(f, _key_i=key_i, _b=b, _ch=ch):
+      return jax.random.normal(jax.random.fold_in(_key_i, f),
+                               (_b, groups_per_frame, _ch), dtype=jnp.float32)
+
+    blocks = jax.vmap(per_frame, out_axes=1)(frames)  # [B, W, gpf, ch]
+    noise.append(blocks.reshape(b, n_frames * groups_per_frame, ch))
+  return noise
+
+
 def infer_noise_shapes(config: WaveGlowConfig, batch: int,
                        n_groups: int) -> List[Tuple[int, int, int]]:
   """Shapes of the noise tensors consumed by :func:`infer`, in draw order.
@@ -291,9 +318,12 @@ def infer(params: Dict, config: WaveGlowConfig, spect: jnp.ndarray,
   if noise is None:
     if rng is None:
       rng = jax.random.PRNGKey(0)
-    keys = jax.random.split(rng, len(shapes))
-    noise = [jax.random.normal(k, s, dtype=jnp.float32)
-             for k, s in zip(keys, shapes)]
+    # Position-keyed per-frame noise (NOT one normal() per tensor): the same
+    # key then yields the same values at the same absolute frame regardless
+    # of windowing, so chunked synthesis == one-call synthesis per seed.
+    groups_per_frame = UPSAMPLE_STRIDE // config.n_group
+    assert n_groups % groups_per_frame == 0, (n_groups, groups_per_frame)
+    noise = block_noise(rng, config, batch, 0, n_groups // groups_per_frame)
   else:
     assert len(noise) == len(shapes), (
         f"expected {len(shapes)} noise tensors, got {len(noise)}")
