@@ -36,6 +36,9 @@ def main():
   parser.add_argument("--no-train", dest="train", action="store_false")
   parser.add_argument("--train-batch", type=int, default=8)
   parser.add_argument("--train-iters", type=int, default=5)
+  parser.add_argument("--train-hparams", default=None,
+                      help='extra training hparam overrides, e.g. '
+                           '"remat_scope=wn,grad_accum=3,use_pallas=true"')
   args = parser.parse_args()
 
   import jax
@@ -103,9 +106,11 @@ def main():
       from waveglow_tpu.dsp.mel import MelSTFT
       from waveglow_tpu.training.step import (init_state, make_optimizer,
                                               make_train_step)
-      thp = overwrite_custom_hparams(HParams(), {
-          "compute_dtype": args.dtype,
-          "batch_size": str(args.train_batch)})
+      from waveglow_tpu.hparams import parse_custom_hparams
+      overrides = {"compute_dtype": args.dtype,
+                   "batch_size": str(args.train_batch),
+                   **parse_custom_hparams(args.train_hparams)}
+      thp = overwrite_custom_hparams(HParams(), overrides)
       mel_op = MelSTFT(thp)
       optimizer = make_optimizer(thp.learning_rate)
       state = init_state(jax.device_put(init_params(config, seed=0)),

@@ -142,3 +142,25 @@ class TestEndToEnd:
     import pandas as pd
     df = pd.read_csv(out / "total.csv", sep="\t")
     assert len(df) == 2
+
+  def test_07_validate_filtered_checkpoints(self, workspace):
+    # after train+continue-train the dir holds iterations 1..4
+    # (iters_per_checkpoint=1); min/max select the middle two
+    out = workspace / "validation_filtered"
+    rc = run(["validate", str(workspace / "ckpts"), str(out),
+              str(workspace / "val"), "--custom-seed", "5",
+              "--min-iteration", "2", "--max-iteration", "3",
+              "--log", str(workspace / "cli.log")])
+    assert rc == 0
+    assert sorted(p.name for p in out.iterdir() if p.is_dir()) == ["2", "3"]
+    import pandas as pd
+    assert len(pd.read_csv(out / "total.csv", sep="\t")) == 2
+
+  def test_08_validate_select_stride(self, workspace):
+    out = workspace / "validation_select"
+    rc = run(["validate", str(workspace / "ckpts"), str(out),
+              str(workspace / "val"), "--custom-seed", "5",
+              "--select", "4",
+              "--log", str(workspace / "cli.log")])
+    assert rc == 0
+    assert sorted(p.name for p in out.iterdir() if p.is_dir()) == ["4"]

@@ -1,0 +1,96 @@
+"""Golden-value oracle: published LJS-v3-580000 checkpoint on res/audio.wav.
+
+This is the reference's own north-star test
+(/root/reference/src/waveglow_tests/synthesizer_py/test_Synthesizer.py:15-60):
+synthesize the real fixture's mel with the published pretrained checkpoint at
+seed=0 / sigma=1.0 / denoiser_strength=0.0005 and pin the first 10 samples of
+``wav`` and ``wav_denoised``.
+
+The checkpoint (~644 MB from NVIDIA NGC) cannot be fetched in this
+zero-egress environment — `waveglow-cli download` was attempted and the
+outcome is recorded in docs/PARITY.md. The test therefore SKIPS unless a
+checkpoint is present at one of:
+
+  * $WAVEGLOW_GOLDEN_CKPT
+  * /tmp/waveglow-test.pt          (the reference test suite's cache path)
+  * <repo>/.cache/ljs-v3-580000.pt (either torch format or native .npz)
+
+Torch-RNG parity: the reference seeds all RNGs (synthesizer.py:56) and draws
+FloatTensor(...).normal_() inside model.infer; reference_oracle's
+torch_infer_noise replicates that draw order bit-for-bit, and the noise is
+injected into the native infer path.
+"""
+
+import os
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+REPO_ROOT = Path(__file__).resolve().parent.parent
+FIXTURE_WAV = Path("/root/reference/res/audio.wav")
+
+# BASELINE.md golden values (reference test_Synthesizer.py:40-58)
+GOLDEN_WAV_FIRST10 = np.array([
+    -0.00143214, -0.00149224, -0.00172377, -0.002468, -0.00232015,
+    -0.00253711, -0.00260813, -0.00190917, -0.00178499, -0.00134584,
+])
+GOLDEN_DENOISED_FIRST10 = np.array([
+    -0.00130634, -0.00123645, -0.00103314, -0.00166089, -0.0022371,
+    -0.00194235, -0.00182102, -0.00135233, -0.00156001, -0.0014026,
+])
+
+
+def find_golden_checkpoint():
+  candidates = [
+      os.environ.get("WAVEGLOW_GOLDEN_CKPT"),
+      "/tmp/waveglow-test.pt",
+      str(REPO_ROOT / ".cache" / "ljs-v3-580000.pt"),
+      str(REPO_ROOT / ".cache" / "ljs-v3-580000.npz"),
+  ]
+  for c in candidates:
+    if c and Path(c).is_file():
+      return Path(c)
+  return None
+
+
+CKPT_PATH = find_golden_checkpoint()
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(
+    CKPT_PATH is None,
+    reason="pretrained LJS-v3-580000 checkpoint not present — the 644 MB "
+           "NGC download is unreachable from this zero-egress environment "
+           "(download attempt recorded in docs/PARITY.md); set "
+           "$WAVEGLOW_GOLDEN_CKPT to run")
+@pytest.mark.skipif(not FIXTURE_WAV.is_file(),
+                    reason="reference fixture audio.wav not present")
+def test_golden_ljs_synthesis():
+  from reference_oracle import torch_infer_noise
+  from waveglow_tpu.checkpointing import load_checkpoint_any
+  from waveglow_tpu.dsp.mel import MelSTFT
+  from waveglow_tpu.inference.synthesizer import Synthesizer
+  from waveglow_tpu.models.waveglow import UPSAMPLE_KERNEL, UPSAMPLE_STRIDE
+
+  checkpoint = load_checkpoint_any(CKPT_PATH)
+  assert checkpoint.iteration == 580000
+  synth = Synthesizer(checkpoint)  # float32 parity mode
+  assert synth.config.n_flows == 12 and synth.config.n_channels == 256
+
+  mel = np.asarray(MelSTFT(synth.hparams).get_mel_from_file(FIXTURE_WAV))
+  frames = mel.shape[-1]
+  n_groups = ((frames - 1) * UPSAMPLE_STRIDE
+              + UPSAMPLE_KERNEL - (UPSAMPLE_KERNEL - UPSAMPLE_STRIDE)) // 8
+
+  noise = torch_infer_noise(synth.config, 1, n_groups, seed=0)
+  result = synth.infer(mel, sigma=1.0, denoiser_strength=0.0005, noise=noise)
+
+  assert result.sampling_rate == 22050
+  assert not result.was_overamplified
+  assert result.inference_duration_s > 0
+  assert result.denoising_duration_s > 0
+  # driver correctness bar: allclose atol 1e-3 vs the reference pipeline
+  np.testing.assert_allclose(result.wav[:10], GOLDEN_WAV_FIRST10, atol=1e-3)
+  np.testing.assert_allclose(result.wav_denoised[:10],
+                             GOLDEN_DENOISED_FIRST10, atol=1e-3)

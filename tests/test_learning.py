@@ -74,9 +74,10 @@ class TestLearning:
                     jax.tree_util.tree_leaves(s2["params"])):
       np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
 
-  def test_remat_matches_plain(self):
+  @pytest.mark.parametrize("scope", ["flow", "wn"])
+  def test_remat_matches_plain(self, scope):
     hp_plain = tiny_hp()
-    hp_remat = tiny_hp(remat=True)
+    hp_remat = tiny_hp(remat=True, remat_scope=scope)
     config = WaveGlowConfig.from_hparams(hp_plain)
     mel_op = MelSTFT(hp_plain)
     audio = jnp.asarray(sine_batch(hp_plain))

@@ -72,6 +72,54 @@ WORKER = textwrap.dedent("""
 """)
 
 
+TRAIN_WORKER = textwrap.dedent("""
+    import os, sys, json
+    sys.path.insert(0, {repo!r})
+    os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "") +
+                               " --xla_force_host_platform_device_count=2")
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+
+    rank = int(sys.argv[1]); port = sys.argv[2]
+    data_dir, ckpt_dir, logdir = sys.argv[3], sys.argv[4], sys.argv[5]
+    jax.distributed.initialize(coordinator_address="127.0.0.1:" + port,
+                               num_processes=2, process_id=rank)
+    assert jax.process_count() == 2
+
+    from pathlib import Path
+    import numpy as np
+    from jax.experimental import multihost_utils
+
+    from waveglow_tpu.checkpointing.store import (CheckpointWaveglow,
+                                                  get_last_checkpoint)
+    from waveglow_tpu.hparams import parse_custom_hparams
+    from waveglow_tpu.training.data import load_dataset
+    from waveglow_tpu.training.loop import train
+
+    hp = parse_custom_hparams({hp_str!r})
+    trainset = load_dataset(Path(data_dir) / "train")
+    valset = load_dataset(Path(data_dir) / "val")
+
+    # phase 1: fresh training for 2 iterations (saves at 1 and 2)
+    train(hp, Path(logdir), trainset, valset, Path(ckpt_dir),
+          max_iterations=2)
+    multihost_utils.sync_global_devices("phase1-saved")
+
+    # phase 2: the real continue-train path from the saved checkpoint
+    path, it = get_last_checkpoint(Path(ckpt_dir))
+    assert it == 2, it
+    ckpt = CheckpointWaveglow.load(path)
+    state = train(hp, Path(logdir), trainset, valset, Path(ckpt_dir),
+                  checkpoint=ckpt, max_iterations=4)
+
+    digest = float(sum(np.abs(np.asarray(x, dtype=np.float64)).sum()
+                       for x in jax.tree_util.tree_leaves(state["params"])))
+    print("RESULT", json.dumps({{"rank": rank, "digest": digest,
+                                 "iteration": int(state["step"])}}),
+          flush=True)
+""")
+
+
 def _free_port() -> int:
   s = socket.socket()
   s.bind(("127.0.0.1", 0))
@@ -135,3 +183,100 @@ def test_two_process_data_parallel_training(tmp_path):
     state, loss = step(state, batch)
     single_losses.append(float(loss))
   assert results[0]["losses"] == pytest.approx(single_losses, rel=1e-4)
+
+
+# learning_rate is tiny on purpose: Adam normalizes gradients (m/sqrt(v)),
+# so at the default lr float-level psum-order noise in near-zero grads (the
+# end conv is zero-init) is amplified into full lr-sized param deltas and the
+# single- vs multi-process losses drift at ~1e-2 relative within 4 steps.
+# With lr=1e-7 the drift is negligible while any ORCHESTRATION bug (wrong
+# batch rows, wrong resume point, lost data) still shifts losses by orders
+# of magnitude more than the tolerance.
+TRAIN_HP = ("n_flows=2,n_channels=32,n_layers=2,segment_length=2048,"
+            "iters_per_checkpoint=2,epochs_per_checkpoint=0,epochs=100,"
+            "batch_size=4,seed=1234,learning_rate=0.0000001")
+
+
+@pytest.mark.slow
+def test_two_process_train_loop_with_resume(tmp_path):
+  """Drives training.loop.train() itself across 2 processes: fresh train,
+  checkpoint save, and continue-train resume — losses and final params must
+  match a single-process run of the identical global configuration."""
+  import jax
+  from waveglow_tpu.hparams import parse_custom_hparams
+  from waveglow_tpu.training.data import load_dataset
+  from tests.test_training import write_noise_dataset
+
+  data_dir = tmp_path / "data"
+  write_noise_dataset(data_dir / "train", n=8, seconds=0.3)
+  write_noise_dataset(data_dir / "val", n=4, seconds=0.3, seed=7)
+
+  port = str(_free_port())
+  script = tmp_path / "train_worker.py"
+  script.write_text(TRAIN_WORKER.format(repo=str(REPO_ROOT), hp_str=TRAIN_HP))
+  ckpt_dir = tmp_path / "ckpts"
+  logdir = tmp_path / "logs"
+
+  env = dict(os.environ)
+  env.pop("JAX_PLATFORMS", None)
+  procs = [
+      subprocess.Popen([sys.executable, str(script), str(rank), port,
+                        str(data_dir), str(ckpt_dir), str(logdir)],
+                       stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+                       text=True, env=env)
+      for rank in range(2)
+  ]
+  outs = []
+  for p in procs:
+    out, err = p.communicate(timeout=600)
+    outs.append((p.returncode, out, err))
+  for rc, out, err in outs:
+    assert rc == 0, f"worker failed:\nstdout:{out}\nstderr:{err[-4000:]}"
+
+  import json
+  results = []
+  for _, out, _ in outs:
+    line = [l for l in out.splitlines() if l.startswith("RESULT")][0]
+    results.append(json.loads(line[len("RESULT "):]))
+
+  # both ranks end with the identical replicated params
+  assert results[0]["iteration"] == results[1]["iteration"] == 4
+  assert results[0]["digest"] == pytest.approx(results[1]["digest"],
+                                               rel=1e-12)
+
+  # multi-process train-step losses (rank 0's metrics.jsonl)
+  mh_losses = {}
+  with open(logdir / "metrics.jsonl") as f:
+    for line in f:
+      rec = json.loads(line)
+      if rec["event"] == "train_step":
+        mh_losses[rec["iteration"]] = rec["loss"]
+  assert sorted(mh_losses) == [1, 2, 3, 4]
+
+  # single-process run of the same global config (train 2, resume to 4)
+  from waveglow_tpu.checkpointing.store import (CheckpointWaveglow,
+                                                get_last_checkpoint)
+  from waveglow_tpu.training.loop import train
+  import numpy as np
+
+  hp = parse_custom_hparams(TRAIN_HP)
+  trainset = load_dataset(data_dir / "train")
+  valset = load_dataset(data_dir / "val")
+  sp_ckpts = tmp_path / "sp_ckpts"
+  sp_logs = tmp_path / "sp_logs"
+  train(hp, sp_logs, trainset, valset, sp_ckpts, max_iterations=2)
+  path, _ = get_last_checkpoint(sp_ckpts)
+  state = train(hp, sp_logs, trainset, valset, sp_ckpts,
+                checkpoint=CheckpointWaveglow.load(path), max_iterations=4)
+  sp_digest = float(sum(np.abs(np.asarray(x, dtype=np.float64)).sum()
+                        for x in jax.tree_util.tree_leaves(state["params"])))
+  sp_losses = {}
+  with open(sp_logs / "metrics.jsonl") as f:
+    for line in f:
+      rec = json.loads(line)
+      if rec["event"] == "train_step":
+        sp_losses[rec["iteration"]] = rec["loss"]
+
+  for it in (1, 2, 3, 4):
+    assert mh_losses[it] == pytest.approx(sp_losses[it], rel=1e-4)
+  assert results[0]["digest"] == pytest.approx(sp_digest, rel=1e-5)

@@ -28,6 +28,17 @@ from reference_oracle import import_reference, tiny_ref_hparams, torch_infer_noi
 
 ref = import_reference()
 
+FIXTURE_WAV = "/root/reference/res/audio.wav"
+
+
+def fixture_audio(n: int = None, offset: int = 0) -> np.ndarray:
+  """The reference's real speech fixture (211,357 samples, 22050 Hz) —
+  real-speech spectral statistics, unlike white noise."""
+  from waveglow_tpu.dsp.audio_io import wav_to_float32
+  wav, sr = wav_to_float32(FIXTURE_WAV)
+  assert sr == 22050
+  return wav if n is None else wav[offset:offset + n]
+
 
 def make_pair(seed=0, **hp_overrides):
   """(reference model, native params, config, native hparams) with identical
@@ -53,32 +64,66 @@ def rand_mel_audio(frames=6, batch=1, seed=0, n_mels=80):
   return mel, audio
 
 
+def _audio_case(kind: str, n: int, seed: int) -> np.ndarray:
+  if kind == "fixture":
+    return fixture_audio(n)
+  rng = np.random.default_rng(seed)
+  return rng.uniform(-0.8, 0.8, n).astype(np.float32)
+
+
+def assert_logmel_close(mine: np.ndarray, theirs: np.ndarray):
+  """Two-domain log-mel comparison.
+
+  Near the reference's 1e-5 dynamic-range clamp (taco_stft.py:10-16), log
+  amplifies float32 STFT rounding by 1/x — real speech has near-silent
+  bins where a 3e-8 linear wobble becomes ~3e-3 in log space. So: tight
+  RELATIVE agreement in the linear domain, plus a log-domain cap that
+  tolerates only that clamp-floor amplification.
+  """
+  np.testing.assert_allclose(np.exp(mine), np.exp(theirs),
+                             rtol=5e-4, atol=5e-8)
+  np.testing.assert_allclose(mine, theirs, atol=5e-3)
+
+
 class TestMelParity:
 
-  def test_mel_spectrogram_matches_reference(self):
+  @pytest.mark.parametrize("kind", ["fixture", "noise"])
+  def test_mel_spectrogram_matches_reference(self, kind):
     tstft_hp = ref.taco_stft.TSTFTHParams()
     taco = ref.taco_stft.TacotronSTFT(tstft_hp, device=torch.device("cpu"))
     mine = MelSTFT(TSTFTHParams())
 
-    rng = np.random.default_rng(1)
-    audio = rng.uniform(-0.8, 0.8, 22050).astype(np.float32)
+    # real speech (the reference's own fixture, full length) AND white noise
+    audio = _audio_case(kind, None if kind == "fixture" else 22050, seed=1)
 
     ref_mel = taco.get_mel_tensor(torch.from_numpy(audio)).numpy()
     my_mel = np.asarray(mine.get_mel(audio))
     assert my_mel.shape == ref_mel.shape
-    np.testing.assert_allclose(my_mel, ref_mel, atol=2e-4)
+    assert_logmel_close(my_mel, ref_mel)
+
+  def test_mel_from_file_matches_reference(self):
+    """The full file loader chain on the real fixture (reference
+    taco_stft.py:105-125)."""
+    tstft_hp = ref.taco_stft.TSTFTHParams()
+    taco = ref.taco_stft.TacotronSTFT(tstft_hp, device=torch.device("cpu"))
+    mine = MelSTFT(TSTFTHParams())
+    from pathlib import Path
+    ref_mel = taco.get_mel_tensor_from_file(Path(FIXTURE_WAV)).numpy()
+    my_mel = np.asarray(mine.get_mel_from_file(FIXTURE_WAV))
+    assert my_mel.shape == ref_mel.shape
+    assert_logmel_close(my_mel, ref_mel)
 
 
 class TestSTFTParity:
 
-  def test_transform_and_inverse_match_reference(self):
+  @pytest.mark.parametrize("kind", ["fixture", "noise"])
+  def test_transform_and_inverse_match_reference(self, kind):
     ref_stft = ref.stft.STFT(device=torch.device("cpu"), filter_length=1024,
                              hop_length=256, win_length=1024)
     from waveglow_tpu.dsp.stft import STFT
     mine = STFT()
 
-    rng = np.random.default_rng(2)
-    audio = rng.uniform(-0.8, 0.8, (1, 10240)).astype(np.float32)
+    audio = _audio_case(kind, 10240, seed=2)[None, :]
 
     ref_mag, ref_phase = ref_stft.transform(torch.from_numpy(audio))
     my_mag, my_phase = mine.transform(jnp.asarray(audio))
@@ -232,9 +277,43 @@ class TestDenoiserParity:
     np.testing.assert_allclose(
         my_denoiser.bias_spec, ref_denoiser.bias_spec.numpy(), atol=1e-4)
 
-    rng = np.random.default_rng(7)
-    audio = rng.uniform(-0.5, 0.5, (1, 2048)).astype(np.float32)
+    # real speech from the reference fixture, not synthetic noise
+    audio = fixture_audio(4096, offset=60000)[None, :]
     with torch.no_grad():
       ref_out = ref_denoiser(torch.from_numpy(audio), strength=0.01)
     my_out = np.asarray(my_denoiser(jnp.asarray(audio), strength=0.01))
     np.testing.assert_allclose(my_out, ref_out.numpy()[:, 0, :], atol=1e-4)
+
+  def test_denoiser_deviation_bound_documented(self):
+    """BASELINE.md asks for bit-for-bit bias removal; across frameworks the
+    STFT matmuls reduce in different orders, so bit-identity is unattainable.
+    This test QUANTIFIES the actual deviation on the real fixture and pins
+    the achievable bound (documented in docs/PARITY.md): the denoiser output
+    differs from the reference by < 2e-5 absolute (float32 STFT roundtrip
+    noise), about 100x tighter than the driver's 1e-3 end-to-end bar."""
+    model, params, config, hp = make_pair(seed=6)
+    torch.manual_seed(61)
+    for wnet in model.WN:
+      wnet.end.weight.data.normal_(0, 0.1)
+      wnet.end.bias.data.normal_(0, 0.1)
+    params = state_dict_to_params(model.state_dict(), hp)
+    model = ref.model.WaveGlow.remove_weightnorm(model)
+
+    tstft_hp = ref.taco_stft.TSTFTHParams()
+    ref_denoiser = ref.denoiser.Denoiser(model, tstft_hp, mode="zeros",
+                                         device=torch.device("cpu"))
+    my_denoiser = Denoiser(fuse_for_inference(params), config,
+                           TSTFTHParams(), mode="zeros")
+
+    audio = fixture_audio(8192, offset=100000)[None, :]
+    with torch.no_grad():
+      ref_out = ref_denoiser(torch.from_numpy(audio),
+                             strength=0.0005).numpy()[:, 0, :]
+    my_out = np.asarray(my_denoiser(jnp.asarray(audio), strength=0.0005))
+    max_abs = float(np.abs(my_out - ref_out).max())
+    assert max_abs < 2e-5, f"denoiser deviation grew: {max_abs}"
+    # bias_spec runs the full random-weight model once (12 matmul-heavy
+    # flows), so its float32 noise is a bit larger than the STFT path alone
+    bias_dev = float(np.abs(my_denoiser.bias_spec
+                            - ref_denoiser.bias_spec.numpy()).max())
+    assert bias_dev < 1e-4, f"bias_spec deviation grew: {bias_dev}"

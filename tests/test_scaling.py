@@ -1,0 +1,39 @@
+"""Scaling-efficiency harness test (BASELINE.md scaling target tooling).
+
+Runs scripts/bench_scaling.py in a subprocess on a virtual CPU mesh and
+checks the emitted JSON: all requested mesh points measured, throughput
+scales with device count, efficiency computed correctly from the points.
+"""
+
+import json
+import subprocess
+import sys
+from pathlib import Path
+
+import pytest
+
+REPO_ROOT = Path(__file__).resolve().parent.parent
+SCRIPT = REPO_ROOT / "scripts" / "bench_scaling.py"
+
+
+@pytest.mark.slow
+def test_bench_scaling_cpu_mesh():
+  proc = subprocess.run(
+      [sys.executable, str(SCRIPT), "--force-cpu", "2",
+       "--mesh-sizes", "1,2", "--iters", "2", "--per-device-batch", "2"],
+      capture_output=True, text=True, timeout=420)
+  assert proc.returncode == 0, proc.stderr[-3000:]
+  result = json.loads(proc.stdout.strip().splitlines()[-1])
+
+  assert result["metric"] == "training_scaling_efficiency"
+  assert result["at_devices"] == 2
+  assert set(result["points"]) == {"1", "2"}
+  p1, p2 = result["points"]["1"], result["points"]["2"]
+  assert p1["global_batch"] == 2 and p2["global_batch"] == 4
+  assert p1["samples_per_sec"] > 0 and p2["samples_per_sec"] > 0
+  # efficiency = (samples/sec at N) / (N * samples/sec at 1)
+  expected = p2["samples_per_sec"] / (2 * p1["samples_per_sec"])
+  assert result["value"] == pytest.approx(expected, abs=1e-3)
+  assert p1["efficiency_vs_1dev"] == pytest.approx(1.0, abs=1e-6)
+  assert result["vs_baseline"] == pytest.approx(result["value"] / 0.85,
+                                                abs=1e-3)

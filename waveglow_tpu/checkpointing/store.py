@@ -66,8 +66,27 @@ def unflatten_tree(flat: Dict[str, np.ndarray]) -> Any:
   return build(root)
 
 
+def _fetch_leaf(x: Any) -> np.ndarray:
+  """Fetch one leaf to host numpy, gathering non-addressable shards.
+
+  In multi-process runs a sharded ``jax.Array`` owns only its local shards;
+  ``np.asarray`` on it raises. A jitted identity with a fully-replicated
+  output sharding performs the all-gather (collective — every process must
+  call this at the same point), after which the value is addressable
+  everywhere. Replicated/host arrays pass straight through.
+  """
+  if isinstance(x, jax.Array) and not (x.is_fully_addressable
+                                       or x.is_fully_replicated):
+    mesh = getattr(x.sharding, "mesh", None)
+    if mesh is not None:
+      from jax.sharding import NamedSharding, PartitionSpec
+      x = jax.jit(lambda a: a,
+                  out_shardings=NamedSharding(mesh, PartitionSpec()))(x)
+  return np.asarray(x)
+
+
 def _to_host(tree: Any) -> Any:
-  return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+  return jax.tree_util.tree_map(_fetch_leaf, tree)
 
 
 @dataclass
@@ -91,7 +110,7 @@ class CheckpointWaveglow:
   def from_state(cls, params: Dict, opt_state: Any, hparams: HParams,
                  iteration: int) -> "CheckpointWaveglow":
     from dataclasses import asdict
-    opt_leaves = [np.asarray(x) for x in jax.tree_util.tree_leaves(opt_state)]
+    opt_leaves = [_fetch_leaf(x) for x in jax.tree_util.tree_leaves(opt_state)]
     return cls(state_dict=_to_host(params), optimizer=opt_leaves,
                learning_rate=hparams.learning_rate, iteration=iteration,
                hparams=asdict(hparams))

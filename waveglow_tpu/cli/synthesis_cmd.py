@@ -25,7 +25,8 @@ from waveglow_tpu.cli.argparse_helpers import (add_compute_arguments,
                                                parse_existing_directory,
                                                parse_existing_file,
                                                parse_non_negative_integer,
-                                               parse_path)
+                                               parse_path,
+                                               parse_positive_integer)
 from waveglow_tpu.hparams import parse_custom_hparams
 
 logger = logging.getLogger(__name__)
@@ -65,7 +66,7 @@ def _add_common(parser: ArgumentParser) -> None:
   parser.add_argument("--include-stats", action="store_true",
                       help="compute quality statistics (slower)")
   parser.add_argument("--chunk-frames",
-                      type=get_optional(parse_non_negative_integer),
+                      type=get_optional(parse_positive_integer),
                       default=None,
                       help="synthesize in fixed mel windows of this many "
                            "frames (constant activation memory; exact vs "

@@ -50,6 +50,20 @@ def init_validation_parser(parser: ArgumentParser):
   parser.add_argument("--custom-checkpoints", type=parse_positive_integer,
                       nargs="*", default=[],
                       help="checkpoint iterations to validate; last if unset")
+  parser.add_argument("--select", type=get_optional(parse_positive_integer),
+                      default=None,
+                      help="validate every SELECT-th discovered checkpoint "
+                           "(iterations divisible by SELECT)")
+  parser.add_argument("--min-iteration",
+                      type=get_optional(parse_non_negative_integer),
+                      default=None,
+                      help="ignore discovered checkpoints below this "
+                           "iteration")
+  parser.add_argument("--max-iteration",
+                      type=get_optional(parse_non_negative_integer),
+                      default=None,
+                      help="ignore discovered checkpoints above this "
+                           "iteration")
   parser.add_argument("--custom-seed",
                       type=get_optional(parse_non_negative_integer),
                       default=None)
@@ -58,6 +72,7 @@ def init_validation_parser(parser: ArgumentParser):
 
 def validate_ns(ns: Namespace) -> bool:
   from waveglow_tpu.checkpointing.store import (CheckpointWaveglow,
+                                                filter_checkpoints,
                                                 get_all_checkpoint_iterations,
                                                 get_checkpoint)
   from waveglow_tpu.dsp.audio_io import float_to_wav
@@ -77,7 +92,16 @@ def validate_ns(ns: Namespace) -> bool:
     if not its:
       logger.error("No checkpoints found in %s", ns.checkpoints_dir)
       return False
-    iterations = [max(its)]
+    if ns.select or ns.min_iteration is not None or ns.max_iteration is not None:
+      # reference utils.py:464-474 semantics: min/max window + every Nth
+      iterations = filter_checkpoints(its, select=ns.select,
+                                      min_it=ns.min_iteration,
+                                      max_it=ns.max_iteration)
+      if not iterations:
+        logger.error("No checkpoints match the select/min/max filter.")
+        return False
+    else:
+      iterations = [max(its)]
 
   custom_hparams = parse_custom_hparams(ns.custom_hparams)
   if ns.compute_dtype:

@@ -82,9 +82,16 @@ class TpuHParams:
   # Rematerialize WN blocks in the backward pass (measured FASTER on v5e:
   # recomputing beats storing/reloading the scan residuals).
   remat: bool = True
+  # Remat granularity: "flow" checkpoints the whole flow step, "wn" only
+  # the WN body (keeps coupling/1x1 residuals, recomputes just the stack).
+  remat_scope: str = "flow"
   # Trace one flow body per same-shape group (lax.scan) instead of
   # unrolling all flows: identical numerics, ~4x faster XLA compiles.
   scan_flows: bool = True
+  # Route WN layers through the fused Pallas kernel in the TRAINING step
+  # (differentiable via wn_layer_trainable's custom VJP). Off by default:
+  # XLA's cross-layer fusion wins at stack level (docs/PERFORMANCE.md).
+  use_pallas: bool = False
 
 
 @dataclass

@@ -13,6 +13,7 @@ from jax.random instead of torch's global RNG).
 
 from __future__ import annotations
 
+import functools
 from typing import Dict, Optional
 
 import jax
@@ -24,6 +25,30 @@ from waveglow_tpu.hparams import TSTFTHParams
 from waveglow_tpu.models.waveglow import WaveGlowConfig, infer
 
 BIAS_MEL_LENGTH = 88
+
+
+@functools.lru_cache(maxsize=8)
+def _bias_capture_fn(config: WaveGlowConfig, dtype_key: Optional[str],
+                     filter_length: int, hop_length: int, win_length: int,
+                     window: str):
+  """One jitted bias-capture program per (model config, stft config).
+
+  Unjitted, the capture dispatched the whole 12-flow infer op-by-op and
+  compiled a second full program per Synthesizer — minutes on a tunneled
+  platform. The lru cache also lets every same-config Synthesizer reuse the
+  compiled program.
+  """
+  cdt = None if dtype_key is None else jnp.dtype(dtype_key)
+  stft = STFT(filter_length, hop_length, win_length, window)
+
+  @jax.jit
+  def capture(params, mel_input):
+    bias_audio = infer(params, config, mel_input, sigma=0.0,
+                       rng=jax.random.PRNGKey(0), compute_dtype=cdt)
+    bias_spec, _ = stft.transform(bias_audio)
+    return bias_spec[:, :, 0:1]  # first frame only
+
+  return capture
 
 
 class Denoiser:
@@ -46,11 +71,13 @@ class Denoiser:
     else:
       raise ValueError(f"Mode {mode!r} is not supported")
 
-    bias_audio = infer(params, config, mel_input, sigma=0.0,
-                       rng=jax.random.PRNGKey(0), compute_dtype=compute_dtype)
-    bias_spec, _ = self.stft.transform(bias_audio)
-    # first frame only: [1, cutoff, 1]
-    self.bias_spec = np.asarray(bias_spec[:, :, 0:1])
+    dtype_key = (None if compute_dtype is None
+                 else jnp.dtype(compute_dtype).name)
+    capture = _bias_capture_fn(config, dtype_key, hparams.filter_length,
+                               hparams.hop_length, hparams.win_length,
+                               hparams.window)
+    # [1, cutoff, 1]
+    self.bias_spec = np.asarray(capture(params, mel_input))
 
   def __call__(self, audio: jnp.ndarray, strength: float) -> jnp.ndarray:
     """[B, T] -> denoised [B, T'] (iSTFT trims to frame-aligned length)."""

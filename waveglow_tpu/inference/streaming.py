@@ -21,8 +21,11 @@ only the interior samples. TPU-native details:
     every chunk reuses ONE compiled program;
   * z-noise is generated per mel frame with a position-keyed PRNG
     (``fold_in(key, (tensor, absolute_frame))``), so overlapping windows
-    draw IDENTICAL noise in their shared halo region — chunked output is
-    bit-identical to single-call synthesis given the same key;
+    draw bit-identical NOISE in their shared halo region — chunked output
+    matches single-call synthesis for the same key exactly up to
+    compilation-dependent float rounding (the windowed program compiles
+    with different shapes/fusions than the full-length program; tests pin
+    agreement at atol 1e-5);
   * the window is carved out with ``lax.dynamic_slice`` inside jit; the mel
     stays device-resident.
 
@@ -71,8 +74,9 @@ def infer_chunked(params, config: WaveGlowConfig, mel: jnp.ndarray, *,
     chunk_frames: frames emitted per window; window = chunk + 2*halo.
     halo_frames: receptive-field halo (default: derived from the config).
   Returns:
-    waveform [B, frames * UPSAMPLE_STRIDE], equal (bitwise, same dtype
-    path) to ``infer(params, config, mel, noise=block_noise(...))``.
+    waveform [B, frames * UPSAMPLE_STRIDE], matching
+    ``infer(params, config, mel, noise=block_noise(...))`` with identical
+    injected noise, up to compilation-dependent float rounding.
   """
   if chunk_frames < 1:
     raise ValueError(f"chunk_frames must be >= 1, got {chunk_frames}")

@@ -66,6 +66,10 @@ class Synthesizer:
     cdt = (jnp.bfloat16 if hparams.compute_dtype == "bfloat16" else None)
     self._cdt = cdt
 
+    # The denoiser stays float32 even in bf16 serving mode: spectral
+    # subtraction is <1% of synthesis time (one STFT roundtrip), and f32
+    # keeps the bias-removal output inside the reference-parity bound
+    # (docs/PARITY.md, denoiser section) at no measurable cost.
     self.denoiser = Denoiser(self.params, self.config, hparams,
                              mode="zeros", compute_dtype=None)
 

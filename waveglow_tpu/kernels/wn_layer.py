@@ -147,16 +147,111 @@ def wn_layer_fused(x: jnp.ndarray, cond_i: jnp.ndarray, w_in: jnp.ndarray,
     # Mosaic lowering needs a real TPU; everywhere else use the interpreter.
     interpret = jax.devices()[0].platform != "tpu"
   t = x.shape[1]
-  if t % tile != 0:
-    # Ragged time axis: shrink the tile to the largest divisor of t that is
-    # a multiple of 8 sublanes (callers on the hot path pad t instead).
-    tile = max((s for s in range(8, min(tile, t) + 1, 8) if t % s == 0),
-               default=t)
+  # Ragged time axis (callers on the hot path pad t instead): first pad t up
+  # to a sublane multiple — Mosaic rejects non-multiple-of-8 tiles — then
+  # shrink the tile to the largest multiple-of-8 divisor of the padded t.
+  pad = (-t) % 8
+  tp = t + pad
+  if tp % tile != 0:
+    tile = max(s for s in range(8, min(tile, tp) + 1, 8) if tp % s == 0)
   if valid_t is None:
     valid_t = t
-  return _wn_layer_fused(x, cond_i, w_in, b_in, w_rs, b_rs, skip_acc,
-                         dilation=dilation, tile=tile, skip_f32=skip_f32,
-                         valid_t=valid_t, interpret=interpret)
+  if pad:
+    x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
+    cond_i = jnp.pad(cond_i, ((0, 0), (0, pad)) + ((0, 0),) * (cond_i.ndim - 2))
+    if skip_acc is not None:
+      skip_acc = jnp.pad(skip_acc, ((0, 0), (0, pad), (0, 0)))
+  x_out, skip = _wn_layer_fused(x, cond_i, w_in, b_in, w_rs, b_rs, skip_acc,
+                                dilation=dilation, tile=tile,
+                                skip_f32=skip_f32, valid_t=valid_t,
+                                interpret=interpret)
+  if pad:
+    x_out, skip = x_out[:, :t], skip[:, :t]
+  return x_out, skip
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
+def wn_layer_trainable(x: jnp.ndarray, cond_i: jnp.ndarray,
+                       w_in: jnp.ndarray, b_in: jnp.ndarray,
+                       w_rs: jnp.ndarray, b_rs: jnp.ndarray,
+                       dilation: int, tile: int, valid_t: Optional[int]
+                       ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+  """Differentiable fused WN layer: Pallas forward + analytic XLA backward.
+
+  Same forward as :func:`wn_layer_fused` (without the in-kernel skip
+  accumulator — training accumulates skips in XLA, where the add chain
+  fuses into the backward anyway). The VJP recomputes the cheap
+  intermediates (taps/gates/acts — remat-style, nothing saved from the
+  kernel) and applies the closed-form adjoints of conv/gate/res-skip.
+  """
+  return wn_layer_fused(x, cond_i, w_in, b_in, w_rs, b_rs,
+                        dilation=dilation, tile=tile, valid_t=valid_t)
+
+
+def _wn_layer_trainable_fwd(x, cond_i, w_in, b_in, w_rs, b_rs,
+                            dilation, tile, valid_t):
+  out = wn_layer_fused(x, cond_i, w_in, b_in, w_rs, b_rs,
+                       dilation=dilation, tile=tile, valid_t=valid_t)
+  return out, (x, cond_i, w_in, b_in, w_rs, b_rs)
+
+
+def _wn_layer_trainable_bwd(dilation, tile, valid_t, residuals, cotangents):
+  from waveglow_tpu.ops.conv import shift_time
+  x, cond_i, w_in, b_in, w_rs, b_rs = residuals
+  dx_next, dskip = cotangents
+  bsz, t, c = x.shape
+  f32 = jnp.float32
+  last_layer = w_rs.shape[-1] == c
+
+  # recompute the forward intermediates (f32 math, at least as accurate as
+  # the kernel's f32-accumulating dots)
+  shifted = [shift_time(x, (tap - 1) * dilation) for tap in range(3)]
+  taps = jnp.concatenate(shifted, axis=-1).astype(f32)       # [B, T, 3C]
+  gates = jnp.dot(taps, w_in.reshape(3 * c, 2 * c).astype(f32))
+  gates = (gates + b_in.reshape(-1).astype(f32)
+           + cond_i.reshape(bsz, t, 2 * c).astype(f32))
+  t_act = jnp.tanh(gates[..., :c])
+  s_act = jax.nn.sigmoid(gates[..., c:])
+  acts = t_act * s_act
+
+  dx_next = dx_next.astype(f32)
+  dskip = dskip.astype(f32)
+  if valid_t is not None and valid_t < t:
+    # the forward zeroes x_next rows >= valid_t, so no gradient flows back
+    # through them
+    keep = (jnp.arange(t) < valid_t)[None, :, None]
+    dx_next = jnp.where(keep, dx_next, jnp.zeros_like(dx_next))
+
+  if last_layer:
+    drs = dskip                                              # [B, T, C]
+    dx = dx_next                                             # x' = x
+  else:
+    drs = jnp.concatenate([dx_next, dskip], axis=-1)         # [B, T, 2C]
+    dx = dx_next                                             # x' = x + res
+
+  dacts = jnp.dot(drs, w_rs.astype(f32).T)                   # [B, T, C]
+  dw_rs = jnp.einsum("btc,btk->ck", acts, drs).astype(w_rs.dtype)
+  db_rs = drs.sum((0, 1)).reshape(b_rs.shape).astype(b_rs.dtype)
+
+  da = dacts * s_act * (1.0 - t_act * t_act)
+  db = dacts * t_act * s_act * (1.0 - s_act)
+  dgates = jnp.concatenate([da, db], axis=-1)                # [B, T, 2C]
+
+  dcond = dgates.reshape(cond_i.shape).astype(cond_i.dtype)
+  db_in = dgates.sum((0, 1)).reshape(b_in.shape).astype(b_in.dtype)
+  dw_in = jnp.einsum("btk,btm->km", taps,
+                     dgates).reshape(w_in.shape).astype(w_in.dtype)
+
+  # adjoint of the 3-tap dilated conv: scatter each tap's contribution back
+  # (shift_time's adjoint is shift_time with the negated offset)
+  g_w = jnp.dot(dgates, w_in.reshape(3 * c, 2 * c).astype(f32).T)
+  for tap in range(3):
+    dx = dx + shift_time(g_w[..., tap * c:(tap + 1) * c],
+                         -(tap - 1) * dilation)
+  return (dx.astype(x.dtype), dcond, dw_in, db_in, dw_rs, db_rs)
+
+
+wn_layer_trainable.defvjp(_wn_layer_trainable_fwd, _wn_layer_trainable_bwd)
 
 
 @functools.partial(jax.jit, static_argnames=("dilation", "tile", "skip_f32",

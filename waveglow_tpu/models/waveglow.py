@@ -177,7 +177,8 @@ def _stack_flows(flows: List[Dict]) -> Dict:
 
 def forward(params: Dict, config: WaveGlowConfig, spect: jnp.ndarray,
             audio: jnp.ndarray, compute_dtype=None, remat: bool = False,
-            scan_flows: bool = False
+            scan_flows: bool = False, use_pallas: bool = False,
+            remat_scope: str = "flow"
             ) -> Tuple[jnp.ndarray, List[jnp.ndarray], List[jnp.ndarray]]:
   """Training-direction flow (reference model.py:178-221).
 
@@ -187,9 +188,19 @@ def forward(params: Dict, config: WaveGlowConfig, spect: jnp.ndarray,
     scan_flows: trace one flow body per same-shape group via lax.scan
       instead of unrolling all flows (identical numerics, much faster
       compiles).
+    use_pallas: run WN layers through the fused Pallas kernel
+      (differentiable — wn_layer_trainable carries a custom VJP; the
+      kernel wrapper handles ragged segment lengths itself).
+    remat_scope: what ``remat=True`` rematerializes — "flow" checkpoints the
+      whole flow step (coupling + 1x1 + WN), "wn" only the WN body (the
+      coupling/1x1 residuals are cheap to keep and their recompute chains
+      through slogdet).
   Returns:
     (z [B, T/n_group, n_group], log_s_list, log_det_w_list).
   """
+  if use_pallas and config.kernel_size != 3:
+    use_pallas = False  # the kernel only implements the 3-tap conv
+  assert remat_scope in ("flow", "wn"), remat_scope
   batch, t_audio = audio.shape
   up = upsample_mel(params, spect, compute_dtype)
   assert up.shape[1] >= t_audio, "upsampled mel shorter than audio"
@@ -201,20 +212,26 @@ def forward(params: Dict, config: WaveGlowConfig, spect: jnp.ndarray,
   log_s_list: List[jnp.ndarray] = []
   log_det_w_list: List[jnp.ndarray] = []
 
+  def wn_call(wn_params, audio_0):
+    return wn_forward(wn_params, audio_0, spect_g, config.n_channels,
+                      config.n_layers, config.kernel_size,
+                      compute_dtype=compute_dtype, use_pallas=use_pallas)
+
+  if remat and remat_scope == "wn":
+    wn_call = jax.checkpoint(wn_call)
+
   def flow_step(flow, audio_g, channels):
     audio_g, log_det_w = inv1x1.forward(audio_g, flow["inv1x1"]["w"])
     n_half = channels // 2
     audio_0 = audio_g[..., :n_half]
     audio_1 = audio_g[..., n_half:]
-    wn_out = wn_forward(flow["wn"], audio_0, spect_g, config.n_channels,
-                        config.n_layers, config.kernel_size,
-                        compute_dtype=compute_dtype)
+    wn_out = wn_call(flow["wn"], audio_0)
     b = wn_out[..., :n_half]
     log_s = wn_out[..., n_half:]
     audio_1 = jnp.exp(log_s) * audio_1 + b
     return jnp.concatenate([audio_0, audio_1], axis=-1), log_s, log_det_w
 
-  if remat:
+  if remat and remat_scope == "flow":
     flow_step = jax.checkpoint(flow_step, static_argnums=(2,))
 
   if scan_flows:
@@ -331,6 +348,10 @@ def infer(params: Dict, config: WaveGlowConfig, spect: jnp.ndarray,
       assert tuple(n.shape) == s, f"noise shape {n.shape} != expected {s}"
 
   valid_t = None
+  if use_pallas and config.kernel_size != 3:
+    # wn_forward only dispatches to the kernel for kernel_size 3; padding
+    # here without the kernel's valid_t masking would corrupt the tail.
+    use_pallas = False
   if use_pallas:
     # The fused WN kernel wants T as a multiple of its tile: pad the time
     # axis ONCE here (per-layer ragged-edge padding costs more than the

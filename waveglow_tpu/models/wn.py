@@ -109,9 +109,14 @@ def wn_forward(params: Dict, audio0: jnp.ndarray, spect: jnp.ndarray,
   computed here from ``spect``.
 
   ``use_pallas`` routes the per-layer body through the fused Pallas kernel
-  (kernel_size 3 only; inference path — the kernel has no custom VJP yet).
+  (kernel_size 3 only; differentiable via wn_layer_trainable's custom VJP).
   ``valid_t`` is the true time length when the caller padded T to a kernel
   tile multiple (Pallas path only).
+
+  (A taps+spect single-gate-matmul variant was measured 0.91x — slower —
+  on v5e: XLA already fuses the cond add into a matmul epilogue, and the
+  wider [B, T, 3C+M] concat write costs more than the saved roundtrip. See
+  scripts/bench_wn_variants.py and docs/PERFORMANCE.md.)
   """
   if use_pallas and kernel_size == 3:
     return _wn_forward_pallas(params, audio0, spect, n_channels, n_layers,
@@ -186,8 +191,11 @@ def _wn_forward_pallas(params: Dict, audio0: jnp.ndarray, spect: jnp.ndarray,
   shapes). ``valid_t`` marks the true time length when the caller padded T
   to a tile multiple: pad rows of the residual stream are forced to zero so
   the taps read them exactly like the reference's zero "same" padding.
+
+  Layers run through :func:`wn_layer_trainable` (custom VJP), so this path
+  is differentiable — training can opt in via hparams.use_pallas.
   """
-  from waveglow_tpu.kernels.wn_layer import wn_layer_fused
+  from waveglow_tpu.kernels import wn_layer as kl
 
   dtype = compute_dtype or jnp.float32
   c = n_channels
@@ -218,11 +226,11 @@ def _wn_forward_pallas(params: Dict, audio0: jnp.ndarray, spect: jnp.ndarray,
     # in interpret mode, but this environment's Mosaic compiler rejects the
     # aliased-accumulator variant at tile 1024 (HTTP 500) and tile 512
     # costs ~1.6x, so the accumulate stays in XLA here.
-    x, skip = wn_layer_fused(
+    x, skip = kl.wn_layer_trainable(
         x, cond_i, w_in,
         in_layer["b"].astype(jnp.float32), w_rs,
-        res_skip["b"].astype(jnp.float32), dilation=dilation,
-        valid_t=valid_t)
+        res_skip["b"].astype(jnp.float32), dilation,
+        kl.DEFAULT_TILE, valid_t)
     skip = skip.astype(jnp.float32)
     output = skip if output is None else output + skip
 

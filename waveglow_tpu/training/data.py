@@ -68,8 +68,16 @@ class SegmentDataset:
     order = list(entries)
     rng = np.random.RandomState(hparams.seed)
     rng.shuffle(order)
-    # per-host disjoint shard (contiguous after shuffle)
+    # Per-host disjoint round-robin shard. With a per-host batch of
+    # B/process_count, the union of all hosts' step-b rows is exactly the
+    # single-process step-b batch order[b*B:(b+1)*B] (row-permuted), so
+    # multi-process losses/gradients match single-process bit-for-bit up to
+    # batch-reduction order.
     self.entries = order[process_index::process_count]
+    # Crop RNG keys must be process-count-invariant: key on the entry's
+    # GLOBAL position in the shuffled order, not its shard-local index, so
+    # every host crops the same segment of the same file at the same epoch.
+    self._global_index = list(range(process_index, len(order), process_count))
     self.segment_length = hparams.segment_length
     self.seed = hparams.seed
     self.sampling_rate = hparams.sampling_rate
@@ -105,7 +113,8 @@ class SegmentDataset:
     if length < self.segment_length:
       return -1
     crop_rng = np.random.default_rng(
-        np.random.SeedSequence([self.seed, epoch, index]))
+        np.random.SeedSequence(
+            [self.seed, epoch, self._global_index[index]]))
     return int(crop_rng.integers(0, length - self.segment_length + 1))
 
   def segment(self, index: int, epoch: int) -> np.ndarray:
@@ -140,16 +149,26 @@ def _wav_sample_count(path) -> int:
 
 
 class BatchLoader:
-  """Iterates [B, segment_length] float32 batches for one epoch."""
+  """Iterates [B, segment_length] float32 batches for one epoch.
+
+  ``num_batches`` overrides the natural batch count — multi-process training
+  passes a process-count-invariant value (min shard capacity across hosts) so
+  every host runs the same number of collective steps per epoch even when
+  entry shards differ in size by one.
+  """
 
   def __init__(self, dataset: SegmentDataset, batch_size: int,
-               drop_last: bool = True, prefetch: int = 2):
+               drop_last: bool = True, prefetch: int = 2,
+               num_batches: Optional[int] = None):
     self.dataset = dataset
     self.batch_size = batch_size
     self.drop_last = drop_last
     self.prefetch = prefetch
+    self.num_batches = num_batches
 
   def __len__(self) -> int:
+    if self.num_batches is not None:
+      return self.num_batches
     n = len(self.dataset)
     if self.drop_last:
       return n // self.batch_size

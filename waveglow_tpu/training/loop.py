@@ -30,7 +30,7 @@ import jax
 import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-from waveglow_tpu.checkpointing.store import (CheckpointWaveglow,
+from waveglow_tpu.checkpointing.store import (CheckpointWaveglow, _to_host,
                                               get_checkpoint_filename,
                                               restore_opt_state)
 from waveglow_tpu.dsp.mel import MelSTFT
@@ -122,7 +122,6 @@ def train(custom_hparams: Optional[Dict[str, str]], logdir: Optional[Path],
   Returns the final train state (host pytrees).
   """
   complete_start = time.time()
-  metrics = MetricsLogger(logdir)
 
   if checkpoint is not None:
     hparams = checkpoint.get_hparams()
@@ -133,6 +132,8 @@ def train(custom_hparams: Optional[Dict[str, str]], logdir: Optional[Path],
 
   process_index = jax.process_index()
   process_count = jax.process_count()
+  # one metrics writer per run, not per host
+  metrics = MetricsLogger(logdir if process_index == 0 else None)
 
   # --- model + optimizer state -------------------------------------------
   if checkpoint is not None:
@@ -149,13 +150,24 @@ def train(custom_hparams: Optional[Dict[str, str]], logdir: Optional[Path],
 
   optimizer = make_optimizer(hparams.learning_rate)
 
-  use_mesh = hparams.mesh_data * hparams.mesh_model > 1
+  use_mesh = hparams.mesh_data * hparams.mesh_model > 1 or process_count > 1
   mesh = None
   if use_mesh:
-    mesh = mesh_lib.make_mesh(hparams.mesh_data, hparams.mesh_model)
+    mesh_data, mesh_model = hparams.mesh_data, hparams.mesh_model
+    if process_count > 1 and mesh_data * mesh_model != len(jax.devices()):
+      # multi-process runs need a global mesh covering every device
+      mesh_data = len(jax.devices()) // mesh_model
+    mesh = mesh_lib.make_mesh(mesh_data, mesh_model)
     params = shard_params(params, mesh)
     batch_sharding = NamedSharding(mesh, P(mesh_lib.DATA_AXIS))
-    put = lambda b: jax.device_put(b, batch_sharding)
+
+    def put(b):
+      # Each process contributes only its local rows; the global array's
+      # row space is the concatenation of per-process shards (the sharded
+      # equivalent of the reference's single device_put, train.py:190-199).
+      global_shape = (b.shape[0] * process_count,) + b.shape[1:]
+      return jax.make_array_from_process_local_data(
+          batch_sharding, np.ascontiguousarray(b), global_shape)
   else:
     put = jax.numpy.asarray
 
@@ -166,15 +178,36 @@ def train(custom_hparams: Optional[Dict[str, str]], logdir: Optional[Path],
   state["opt_state"] = opt_state
 
   # --- data ---------------------------------------------------------------
+  # hparams.batch_size is the GLOBAL batch (reference semantics); each host
+  # loads batch_size/process_count rows of its entry shard. batch counts are
+  # derived from global sizes so iteration<->epoch arithmetic and the save
+  # schedule are process-count-invariant.
+  if hparams.batch_size % process_count != 0:
+    raise ValueError(
+        f"batch_size {hparams.batch_size} must be divisible by the process "
+        f"count {process_count}")
+  if mesh is not None and hparams.batch_size % mesh.shape[
+      mesh_lib.DATA_AXIS] != 0:
+    raise ValueError(
+        f"batch_size {hparams.batch_size} must be divisible by the data mesh "
+        f"axis ({mesh.shape[mesh_lib.DATA_AXIS]})")
+  local_batch_size = hparams.batch_size // process_count
+
   mel_op = MelSTFT(hparams)
   train_ds = SegmentDataset(trainset, hparams, process_index, process_count)
   val_ds = SegmentDataset(valset, hparams, process_index, process_count)
-  train_loader = BatchLoader(train_ds, hparams.batch_size, drop_last=True)
-  val_loader = BatchLoader(val_ds, hparams.batch_size, drop_last=False)
-
-  batch_iterations = len(train_loader)
+  batch_iterations = (len(trainset) // process_count) // local_batch_size
   if batch_iterations == 0:
     raise RuntimeError("Not enough training data.")
+  train_loader = BatchLoader(train_ds, local_batch_size, drop_last=True,
+                             num_batches=batch_iterations)
+  if use_mesh:
+    # sharded batches must be full-size and identical in count on all hosts
+    val_batches = (len(valset) // process_count) // local_batch_size
+    val_loader = BatchLoader(val_ds, local_batch_size, drop_last=True,
+                             num_batches=val_batches)
+  else:
+    val_loader = BatchLoader(val_ds, local_batch_size, drop_last=False)
 
   train_step = make_train_step(config, hparams, mel_op, optimizer)
   eval_loss = make_eval_loss(config, hparams, mel_op)
@@ -213,9 +246,12 @@ def train(custom_hparams: Optional[Dict[str, str]], logdir: Optional[Path],
                   loss=loss, duration_s=durations[-1])
 
       if check_save_it(epoch, iteration, save_settings):
+        # from_state gathers any non-addressable shards (a collective in
+        # multi-process runs) — every process must build it; only process 0
+        # writes the file.
+        ckpt = CheckpointWaveglow.from_state(
+            state["params"], state["opt_state"], hparams, iteration)
         if process_index == 0:
-          ckpt = CheckpointWaveglow.from_state(
-              state["params"], state["opt_state"], hparams, iteration)
           Path(save_checkpoint_dir).mkdir(parents=True, exist_ok=True)
           path = Path(save_checkpoint_dir) / get_checkpoint_filename(iteration)
           ckpt.save(path)
@@ -230,4 +266,4 @@ def train(custom_hparams: Optional[Dict[str, str]], logdir: Optional[Path],
 
   logger.info("Finished training. Total duration: %.2fm",
               (time.time() - complete_start) / 60)
-  return jax.tree_util.tree_map(np.asarray, state)
+  return _to_host(state)

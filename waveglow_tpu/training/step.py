@@ -57,7 +57,8 @@ def make_loss_fn(config: WaveGlowConfig, hp: HParams,
     mel = mel_op.mel_spectrogram(audio)
     z, log_s_list, log_det_w_list = forward(
         params, config, mel, audio, compute_dtype=cdt, remat=hp.remat,
-        scan_flows=hp.scan_flows)
+        scan_flows=hp.scan_flows, use_pallas=hp.use_pallas,
+        remat_scope=hp.remat_scope)
     return waveglow_loss(z, log_s_list, log_det_w_list, hp.sigma)
 
   return loss_fn
