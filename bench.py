@@ -39,6 +39,11 @@ def main():
   parser.add_argument("--train-hparams", default=None,
                       help='extra training hparam overrides, e.g. '
                            '"remat_scope=wn,grad_accum=3,use_pallas=true"')
+  parser.add_argument("--train-batch24", action="store_true", default=True,
+                      help="also measure the reference-workload batch-24 "
+                           "training rate (grad-accum 3x8)")
+  parser.add_argument("--no-train-batch24", dest="train_batch24",
+                      action="store_false")
   args = parser.parse_args()
 
   import jax
@@ -130,6 +135,27 @@ def main():
           args.train_batch * args.train_iters / t_el, 2)
       extras["training_step_seconds"] = round(t_el / args.train_iters, 4)
       extras["training_loss_finite"] = bool(np.isfinite(float(loss)))
+
+      if args.train_batch24:
+        # the reference workload's config (paper batch 24): grad-accum 3x8
+        # measured 76.9 vs 62.0 samples/s flat on v5e (docs/PERFORMANCE.md)
+        thp24 = overwrite_custom_hparams(HParams(), {
+            **overrides, "batch_size": "24", "grad_accum": "3"})
+        state24 = init_state(jax.device_put(init_params(config, seed=0)),
+                             optimizer)
+        step24 = make_train_step(config, thp24, mel_op, optimizer)
+        audio24 = jnp.asarray(rng.uniform(
+            -0.5, 0.5, (24, thp24.segment_length)).astype(np.float32))
+        state24, loss24 = step24(state24, audio24)
+        float(loss24)
+        t0 = time.perf_counter()
+        for _ in range(args.train_iters):
+          state24, loss24 = step24(state24, audio24)
+        float(loss24)
+        t24 = time.perf_counter() - t0
+        extras["training_samples_per_sec_batch24"] = round(
+            24 * args.train_iters / t24, 2)
+        extras["training_batch24_config"] = "grad_accum=3"
     except Exception as e:  # training bench is best-effort
       extras["training_error"] = f"{type(e).__name__}: {e}"
 

@@ -69,6 +69,49 @@ def wn_forward_fusegate(params, audio0, spect, c, n_layers, compute_dtype):
                  compute_dtype=compute_dtype, out_dtype=jnp.float32)
 
 
+def wn_forward_bf16_residual(params, audio0, spect, c, n_layers,
+                             compute_dtype):
+  """wn_forward with the residual stream x kept in bf16 (not f32)."""
+  import jax
+  import jax.numpy as jnp
+  from waveglow_tpu.models.weightnorm import materialize
+  from waveglow_tpu.ops.conv import _mm, conv1x1, shift_time
+
+  x = conv1x1(audio0, materialize(params["start"]), params["start"]["b"],
+              compute_dtype=compute_dtype, out_dtype=compute_dtype)
+  w_cond = materialize(params["cond"])
+
+  output = None
+  for i in range(n_layers):
+    dilation = 2 ** i
+    in_layer = params["in_layers"][i]
+    w_in = materialize(in_layer).reshape(3, c, 2 * c)
+    taps = jnp.concatenate(
+        [shift_time(x, (tap - 1) * dilation) for tap in range(3)], axis=-1)
+    pre = _mm(taps, w_in.reshape(3 * c, 2 * c), compute_dtype)
+    pre = pre.reshape(pre.shape[:-1] + (2, c)) + in_layer["b"].astype(pre.dtype)
+    cond_i = _mm(spect, w_cond[:, i].reshape(-1, 2 * c), compute_dtype)
+    cond_i = (cond_i.reshape(cond_i.shape[:-1] + (2, c))
+              + params["cond"]["b"][i].astype(cond_i.dtype))
+    gates = pre + cond_i.astype(pre.dtype)
+    acts = jnp.tanh(gates[..., 0, :]) * jax.nn.sigmoid(gates[..., 1, :])
+
+    res_skip = params["res_skip"][i]
+    w_rs = materialize(res_skip)
+    if i < n_layers - 1:
+      rs = _mm(acts, w_rs.reshape(c, 2 * c), compute_dtype)
+      rs = rs.reshape(rs.shape[:-1] + (2, c)) + res_skip["b"].astype(rs.dtype)
+      x = x + rs[..., 0, :]                      # bf16 residual update
+      skip = rs[..., 1, :]
+    else:
+      skip = _mm(acts, w_rs, compute_dtype) + res_skip["b"].astype(
+          compute_dtype)
+    output = skip if output is None else output + skip  # bf16 skip acc
+
+  return conv1x1(output, params["end"]["w"], params["end"]["b"],
+                 compute_dtype=compute_dtype, out_dtype=jnp.float32)
+
+
 def main():
   ap = argparse.ArgumentParser()
   ap.add_argument("--batch", type=int, default=8)
@@ -114,13 +157,19 @@ def main():
       p, a, s, args.c, args.layers, 3, compute_dtype=cdt))
   fuse_fn = jax.jit(lambda p, a, s: wn_forward_fusegate(
       p, a, s, args.c, args.layers, cdt))
+  bf16x_fn = jax.jit(lambda p, a, s: wn_forward_bf16_residual(
+      p, a, s, args.c, args.layers, cdt or jnp.float32))
 
   t_base, o_base = timeit(base_fn)
   t_fuse, o_fuse = timeit(fuse_fn)
+  t_bf16, o_bf16 = timeit(bf16x_fn)
   err = float(jnp.max(jnp.abs(o_fuse - o_base)))
-  print(f"base     {t_base:7.2f} ms")
-  print(f"fusegate {t_fuse:7.2f} ms   speedup {t_base / t_fuse:5.2f}x   "
+  err_b = float(jnp.max(jnp.abs(o_bf16 - o_base)))
+  print(f"base       {t_base:7.2f} ms")
+  print(f"fusegate   {t_fuse:7.2f} ms   speedup {t_base / t_fuse:5.2f}x   "
         f"max|diff| {err:.2e}")
+  print(f"bf16-resid {t_bf16:7.2f} ms   speedup {t_base / t_bf16:5.2f}x   "
+        f"max|diff| {err_b:.2e}")
 
 
 if __name__ == "__main__":

@@ -86,12 +86,19 @@ class TestEndToEnd:
     from waveglow_tpu.checkpointing.store import get_last_checkpoint
     ckpt, _ = get_last_checkpoint(workspace / "ckpts")
     out = workspace / "synth_wav_out"
+    log_path = workspace / "cli_synth.log"
     rc = run(["synthesize-wav", str(ckpt), str(workspace / "val"),
               "--custom-seed", "0", "-out", str(out),
-              "--log", str(workspace / "cli.log")])
+              "--log", str(log_path)])
     assert rc == 0
     wavs = list(out.rglob("*.wav"))
     assert len(wavs) == 2
+    # per-file-stem queue loggers: the file log groups messages per input
+    # (reference logging_configuration.py:90-130)
+    log_text = log_path.read_text()
+    assert "Log messages for file: utt0.wav" in log_text
+    assert "Log messages for file: utt1.wav" in log_text
+    assert "Synthesized utt0.wav" in log_text
 
   def test_04_synthesize_npy(self, workspace):
     from waveglow_tpu.checkpointing.store import get_last_checkpoint

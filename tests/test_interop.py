@@ -121,3 +121,38 @@ class TestNvidiaRawFormat:
     for a, b in zip(jax.tree_util.tree_leaves(expected),
                     jax.tree_util.tree_leaves(ckpt.state_dict)):
       np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestGDriveInterstitialParsing:
+  """The network itself is unreachable here (docs/PARITY.md), but the
+  confirm-token HTML parsing — the part gdown does for the reference
+  (dl_pretrained.py:28-35) — is testable offline."""
+
+  def test_modern_form(self):
+    from waveglow_tpu.checkpointing.download import parse_gdrive_interstitial
+    html = """
+    <html><body>
+    <form id="download-form" action="https://drive.usercontent.google.com/download" method="get">
+      <input type="submit" value="Download anyway"/>
+      <input type="hidden" name="id" value="1rpK8CzAAirq9sWZhe9nlfvxMF1dRgFbF"/>
+      <input type="hidden" name="export" value="download"/>
+      <input type="hidden" name="confirm" value="t"/>
+      <input type="hidden" name="uuid" value="abc-123"/>
+    </form></body></html>"""
+    action, fields = parse_gdrive_interstitial(html)
+    assert action == "https://drive.usercontent.google.com/download"
+    assert fields == {"id": "1rpK8CzAAirq9sWZhe9nlfvxMF1dRgFbF",
+                      "export": "download", "confirm": "t",
+                      "uuid": "abc-123"}
+
+  def test_legacy_confirm_link(self):
+    from waveglow_tpu.checkpointing.download import parse_gdrive_interstitial
+    html = ('<a href="/uc?export=download&amp;confirm=AbCd&amp;id=XYZ">'
+            'Download anyway</a>')
+    action, fields = parse_gdrive_interstitial(html)
+    assert action == "https://drive.google.com/uc?export=download&confirm=AbCd&id=XYZ"
+    assert fields == {}
+
+  def test_no_form_returns_none(self):
+    from waveglow_tpu.checkpointing.download import parse_gdrive_interstitial
+    assert parse_gdrive_interstitial("<html>quota exceeded</html>") is None

@@ -129,3 +129,80 @@ class TestPlots:
     assert labeled.shape[1] >= core.shape[1]
     stacked = stack_images_vertically([core, labeled])
     assert stacked.shape[0] == core.shape[0] + labeled.shape[0]
+
+
+class TestIndependentCrossChecks:
+  """The reference delegates MCD/DTW to the mel_cepstral_distance and
+  fastdtw packages (reference validation.py:211-232), which are not
+  installable in this zero-egress environment (docs/PARITY.md records the
+  attempt). These tests cross-validate the from-definition implementation
+  against INDEPENDENT computations instead of recorded package outputs."""
+
+  def test_mfcc_dct_convention_vs_direct_cosine_sum(self):
+    """mel_to_mfccs must equal the literature's DCT-II written out by hand:
+    scipy dct(type=2, norm=None) -> y[k] = 2 * sum_n x[n] cos(pi k (2n+1) / (2N)).
+    A silent normalization change (e.g. norm='ortho') would rescale every
+    MCD this framework reports."""
+    from waveglow_tpu.eval.metrics import mel_to_mfccs
+    rng = np.random.default_rng(0)
+    mel = rng.standard_normal((80, 7))
+    n = mel.shape[0]
+    k = np.arange(n)[:, None]          # output index
+    nn = np.arange(n)[None, :]         # input index
+    basis = 2.0 * np.cos(np.pi * k * (2 * nn + 1) / (2 * n))
+    direct = basis @ mel
+    mine = mel_to_mfccs(mel, n_coeffs=16)
+    np.testing.assert_allclose(mine, direct[1:17], rtol=1e-10)
+
+  def test_mcd_formula_hand_computed(self):
+    """MCD == 10*sqrt(2)/ln(10) * mean_t ||mfcc1_t - mfcc2_t||_2, computed
+    end-to-end by hand for a no-DTW equal-length pair."""
+    from waveglow_tpu.eval.metrics import get_metrics_mels, mel_to_mfccs
+    rng = np.random.default_rng(1)
+    mel_1 = rng.standard_normal((80, 5))
+    mel_2 = rng.standard_normal((80, 5))
+    mcd, penalty, frames = get_metrics_mels(mel_1, mel_2, use_dtw=False)
+    m1, m2 = mel_to_mfccs(mel_1), mel_to_mfccs(mel_2)
+    expected = (10.0 * np.sqrt(2.0) / np.log(10.0)) * np.mean(
+        np.sqrt(((m1 - m2) ** 2).sum(axis=0)))
+    assert mcd == pytest.approx(expected, rel=1e-12)
+    assert penalty == 0.0 and frames == 5
+
+  def test_exact_dtw_is_optimal_lower_bound(self):
+    """Exact DP DTW must never exceed the cost of ANY valid warping path —
+    including greedy/approximate ones like fastdtw's (which upper-bound the
+    optimum). Checked against 200 random monotone paths per case."""
+    from waveglow_tpu.eval.metrics import dtw
+    rng = np.random.default_rng(2)
+    for _ in range(3):
+      a = rng.standard_normal((12, 4))
+      b = rng.standard_normal((15, 4))
+      cost, path = dtw(a, b)
+      # path validity: monotone, connected, endpoints
+      assert path[0] == (0, 0) and path[-1] == (11, 14)
+      for (i0, j0), (i1, j1) in zip(path, path[1:]):
+        assert (i1 - i0, j1 - j0) in ((0, 1), (1, 0), (1, 1))
+      # path cost consistency
+      path_cost = sum(float(np.linalg.norm(a[i] - b[j])) for i, j in path)
+      assert cost == pytest.approx(path_cost, rel=1e-9)
+      # optimality vs random valid paths
+      for _ in range(200):
+        i, j, rand_cost = 0, 0, float(np.linalg.norm(a[0] - b[0]))
+        while (i, j) != (11, 14):
+          moves = [(di, dj) for di, dj in ((0, 1), (1, 0), (1, 1))
+                   if i + di <= 11 and j + dj <= 14]
+          di, dj = moves[rng.integers(len(moves))]
+          i, j = i + di, j + dj
+          rand_cost += float(np.linalg.norm(a[i] - b[j]))
+        assert cost <= rand_cost + 1e-9
+
+  def test_ssim_matches_wang_definition_on_constant_shift(self):
+    """Closed-form check: for images x and x+d (constant offset, zero
+    variance everywhere), SSIM = (2*mu1*mu2+c1)/(mu1^2+mu2^2+c1)."""
+    from waveglow_tpu.eval.metrics import structural_similarity
+    x = np.full((32, 32), 100.0)
+    y = np.full((32, 32), 120.0)
+    c1 = (0.01 * 255.0) ** 2
+    expected = (2 * 100.0 * 120.0 + c1) / (100.0 ** 2 + 120.0 ** 2 + c1)
+    got = structural_similarity(x, y)
+    assert got == pytest.approx(expected, rel=1e-9)

@@ -68,6 +68,45 @@ def try_init_file_logger(log_path: Optional[Path],
   return file_logger
 
 
+def init_file_stem_loggers(stems) -> "OrderedDict[str, Queue]":
+  """Per-file-stem queue loggers for batch jobs (reference
+  logging_configuration.py:90-101).
+
+  Each stem gets a non-propagating logger whose records are buffered in a
+  queue instead of interleaving in the shared file log; flush with
+  :func:`flush_file_stem_loggers` to write them GROUPED per input file.
+  """
+  from collections import OrderedDict
+  from logging.handlers import QueueHandler
+  from queue import Queue
+
+  queues: "OrderedDict[str, Queue]" = OrderedDict()
+  for stem in stems:
+    stem_logger = logging.getLogger(f"file-stem.{stem}")
+    stem_logger.propagate = False
+    stem_logger.setLevel(logging.DEBUG)
+    stem_logger.handlers.clear()
+    q: Queue = Queue(-1)
+    stem_logger.addHandler(QueueHandler(q))
+    queues[stem] = q
+  return queues
+
+
+def get_file_stem_logger(stem: str) -> logging.Logger:
+  """The queue-backed logger created by :func:`init_file_stem_loggers`."""
+  return logging.getLogger(f"file-stem.{stem}")
+
+
+def flush_file_stem_loggers(queues) -> None:
+  """Write every stem's buffered records to the file logger, grouped per
+  file (reference logging_configuration.py:117-124)."""
+  flogger = logging.getLogger("file-logger")
+  for stem, q in queues.items():
+    flogger.info("Log messages for file: %s", stem)
+    while not q.empty():
+      flogger.handle(q.get_nowait())
+
+
 def log_platform_banner(version: str) -> None:
   logger = logging.getLogger("file-logger")
   logger.info("waveglow-tpu version: %s", version)

@@ -135,8 +135,18 @@ def _run(ns: Namespace, source: str) -> bool:
                  if p.is_file())
   logger.info("Found %d %s file(s).", len(files), suffix)
 
+  # per-file queue loggers: batch-job messages land GROUPED per input file
+  # in the --log file instead of interleaved (reference
+  # logging_configuration.py:90-130)
+  from waveglow_tpu.cli.logging_config import (flush_file_stem_loggers,
+                                               get_file_stem_logger,
+                                               init_file_stem_loggers)
+  stem_keys = [str(p.relative_to(ns.folder)) for p in files]
+  stem_queues = init_file_stem_loggers(stem_keys)
+
   entries: List[InferenceEntry] = []
-  for path in files:
+  for path, stem_key in zip(files, stem_keys):
+    stem_logger = get_file_stem_logger(stem_key)
     out_stem = path.stem
     wav_out = (output_directory / path.relative_to(ns.folder).parent
                / f"{out_stem}.wav")
@@ -144,6 +154,7 @@ def _run(ns: Namespace, source: str) -> bool:
       wav_out = wav_out.with_name(f"{out_stem}.synthesized.wav")
     if wav_out.exists() and not ns.overwrite:
       logger.info("Skipping %s (exists).", wav_out)
+      stem_logger.info("Skipped (output exists): %s", wav_out)
       continue
 
     if source == "npy":
@@ -161,13 +172,22 @@ def _run(ns: Namespace, source: str) -> bool:
     logger.info("%s -> %s (%.2fs audio in %.2fs)", path.name, wav_out,
                 len(wav_norm) / result.sampling_rate,
                 result.inference_duration_s)
+    stem_logger.info(
+        "Synthesized %s -> %s: %.2fs audio, infer %.3fs, denoise %.3fs, "
+        "overamplified=%s", path.name, wav_out,
+        len(wav_norm) / result.sampling_rate, result.inference_duration_s,
+        result.denoising_duration_s, result.was_overamplified)
 
     if ns.include_stats:
       entry = _compute_stats(ns, path, mel, wav_norm, result, seed,
                              checkpoint.iteration, mel_op, wav_out.parent,
                              out_stem)
       entries.append(entry)
+      stem_logger.info("Stats: MCD-DTW %.4f, cosine %.4f, SSIM %.4f",
+                       entry.mcd_dtw, entry.cosine_similarity,
+                       entry.structural_similarity)
 
+  flush_file_stem_loggers(stem_queues)
   if ns.include_stats and entries:
     _write_stats_csv(entries, output_directory)
   return True

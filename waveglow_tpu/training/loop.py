@@ -233,6 +233,16 @@ def train(custom_hparams: Optional[Dict[str, str]], logdir: Optional[Path],
       state, loss = train_step(state, put(batch))
       loss = float(loss)
       iteration += 1
+      if not np.isfinite(loss):
+        # Fail loudly instead of training on garbage: the state is already
+        # poisoned (NaN grads reached Adam), so the recovery path is
+        # continue-train from the last checkpoint, possibly with a lower
+        # learning rate.
+        metrics.log(event="non_finite_loss", iteration=iteration, epoch=epoch)
+        raise FloatingPointError(
+            f"Non-finite training loss at iteration {iteration} "
+            f"(epoch {epoch + 1}). Restart from the last checkpoint "
+            f"with continue-train.")
 
       now = time.perf_counter()
       durations.append(now - last_t)
