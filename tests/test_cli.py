@@ -82,6 +82,21 @@ class TestEndToEnd:
     _, after = get_last_checkpoint(workspace / "ckpts")
     assert after > before
 
+  def test_02b_train_auto_resume(self, workspace):
+    """Re-running the SAME train command with --auto-resume continues from
+    the latest checkpoint instead of restarting (preemption recovery)."""
+    from waveglow_tpu.checkpointing.store import get_last_checkpoint
+    _, before = get_last_checkpoint(workspace / "ckpts")
+    custom = TINY.replace("epochs=1", "epochs=3")
+    rc = run(["train", str(workspace / "train"), str(workspace / "val"),
+              str(workspace / "ckpts"), "--custom-hparams", custom,
+              "--auto-resume",
+              "--tl-dir", str(workspace / "logs"),
+              "--log", str(workspace / "cli.log")])
+    assert rc == 0
+    _, after = get_last_checkpoint(workspace / "ckpts")
+    assert after > before  # resumed and advanced, not restarted at 1
+
   def test_03_synthesize_wav(self, workspace):
     from waveglow_tpu.checkpointing.store import get_last_checkpoint
     ckpt, _ = get_last_checkpoint(workspace / "ckpts")

@@ -48,6 +48,30 @@ class TestBatchSynthesizer:
     assert wav_single.shape == wav_sharded.shape == (4, 12 * 256)
     np.testing.assert_allclose(wav_sharded, wav_single, atol=1e-4)
 
+  def test_tensor_parallel_serving_matches(self):
+    """A (data x model) mesh shards WN channels for serving; outputs must
+    match the unsharded synthesizer, and the big WN weights must physically
+    live sharded (model-parallel memory win)."""
+    from jax.sharding import PartitionSpec as P
+
+    ckpt = tiny_checkpoint(seed=2)
+    mels = rand_mels(2, 12, seed=2)
+
+    single = BatchSynthesizer(ckpt)
+    wav_single = single.infer_batch(mels, seed=5)
+
+    mesh = mesh_lib.make_mesh(data=2, model=4)
+    tp = BatchSynthesizer(ckpt, mesh=mesh)
+    wav_tp = tp.infer_batch(mels, seed=5)
+
+    assert wav_single.shape == wav_tp.shape
+    np.testing.assert_allclose(wav_tp, wav_single, atol=1e-4)
+
+    # physical shard check: in_layer weights split on the trailing C'
+    w = tp.params["flows"][0]["wn"]["in_layers"][0]["w"]
+    shard_shape = w.sharding.shard_shape(w.shape)
+    assert shard_shape[-1] == w.shape[-1] // 4
+
   def test_infer_long_time_sharded_matches(self):
     ckpt = tiny_checkpoint(seed=1)
     mel = rand_mels(1, 64, seed=1)[0]

@@ -42,6 +42,10 @@ def init_training_parser(parser: ArgumentParser):
   parser.add_argument("--tl-dir", type=parse_path, metavar="LOG-DIR",
                       default=default_log,
                       help="folder for training metrics (JSONL)")
+  parser.add_argument("--auto-resume", action="store_true",
+                      help="if CHECKPOINTS-FOLDER already holds checkpoints, "
+                           "continue from the latest instead of failing — "
+                           "makes the same command preemption-safe to re-run")
   _add_multihost_args(parser)
   return train_ns
 
@@ -89,11 +93,24 @@ def _custom_hparams(ns: Namespace):
 def train_ns(ns: Namespace) -> bool:
   _maybe_init_multihost(ns)
   from waveglow_tpu.checkpointing import load_checkpoint_any
+  from waveglow_tpu.checkpointing.store import (
+      CheckpointWaveglow, get_all_checkpoint_iterations, get_last_checkpoint)
   from waveglow_tpu.training.data import load_dataset
   from waveglow_tpu.training.loop import train
 
+  checkpoint = None
+  if getattr(ns, "auto_resume", False) and get_all_checkpoint_iterations(
+      ns.checkpoints_dir):
+    # preemption-safe restart: the SAME train command picks up where the
+    # killed run left off (all hosts load the same file, so a multi-host
+    # job restarts coordinated at one step)
+    last_path, last_it = get_last_checkpoint(ns.checkpoints_dir)
+    logger.info("Auto-resume: continuing from iteration %d (%s)",
+                last_it, last_path)
+    checkpoint = CheckpointWaveglow.load(last_path)
+
   warm_model = None
-  if ns.pre_trained_model is not None and ns.warm_start:
+  if ns.pre_trained_model is not None and ns.warm_start and checkpoint is None:
     warm_model = load_checkpoint_any(ns.pre_trained_model)
 
   trainset = load_dataset(ns.train_folder)
@@ -103,7 +120,7 @@ def train_ns(ns: Namespace) -> bool:
 
   train(custom_hparams=_custom_hparams(ns), logdir=ns.tl_dir,
         trainset=trainset, valset=valset,
-        save_checkpoint_dir=ns.checkpoints_dir, checkpoint=None,
+        save_checkpoint_dir=ns.checkpoints_dir, checkpoint=checkpoint,
         warm_model=warm_model)
   return True
 

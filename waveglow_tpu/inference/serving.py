@@ -6,6 +6,10 @@ The reference synthesizes one utterance per call on one device
   * :class:`BatchSynthesizer` — batched z-sampling over same-length mels,
     data-parallel across a device mesh (each chip synthesizes a slice of the
     batch; no cross-chip communication on the hot path);
+  * tensor-parallel serving — a mesh with a ``model`` axis shards the WN
+    hidden channels Megatron-style (parallel/sharding.py); one psum per WN
+    layer rides ICI. Use when one model exceeds a chip's HBM or to cut
+    single-utterance latency;
   * time-sharded synthesis for single long utterances — the mel frame axis is
     sharded across chips and GSPMD inserts halo collective-permutes for the
     convolution overlaps (all WaveGlow ops are local in time, SURVEY §5.7).
@@ -28,7 +32,7 @@ from waveglow_tpu.checkpointing.store import CheckpointWaveglow
 from waveglow_tpu.hparams import overwrite_custom_hparams
 from waveglow_tpu.models.waveglow import (WaveGlowConfig, fuse_for_inference,
                                           infer)
-from waveglow_tpu.parallel.mesh import DATA_AXIS, TIME_AXIS
+from waveglow_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS, TIME_AXIS
 
 logger = logging.getLogger(__name__)
 
@@ -51,8 +55,14 @@ class BatchSynthesizer:
 
     params = fuse_for_inference(checkpoint.state_dict)
     if mesh is not None:
-      replicated = NamedSharding(mesh, P())
-      params = jax.device_put(params, replicated)
+      if MODEL_AXIS in mesh.axis_names and mesh.shape[MODEL_AXIS] > 1:
+        # tensor-parallel serving: WN hidden channels sharded over the
+        # model axis (column-parallel in/cond, row-parallel res_skip);
+        # GSPMD adds one psum per WN layer
+        from waveglow_tpu.parallel.sharding import shard_params
+        params = shard_params(params, mesh)
+      else:
+        params = jax.device_put(params, NamedSharding(mesh, P()))
     else:
       params = jax.device_put(params)
     self.params = params
