@@ -198,7 +198,13 @@ TRAIN_HP = ("n_flows=2,n_channels=32,n_layers=2,segment_length=2048,"
 
 
 @pytest.mark.slow
-def test_two_process_train_loop_with_resume(tmp_path):
+@pytest.mark.parametrize("extra_hp", [
+    "",                 # pure data parallel (params replicated)
+    ",mesh_model=2",    # DP x TP: params sharded over the model axis, so
+                        # checkpoint saves must all-gather non-addressable
+                        # shards (the collective _fetch_leaf branch)
+])
+def test_two_process_train_loop_with_resume(tmp_path, extra_hp):
   """Drives training.loop.train() itself across 2 processes: fresh train,
   checkpoint save, and continue-train resume — losses and final params must
   match a single-process run of the identical global configuration."""
@@ -213,7 +219,8 @@ def test_two_process_train_loop_with_resume(tmp_path):
 
   port = str(_free_port())
   script = tmp_path / "train_worker.py"
-  script.write_text(TRAIN_WORKER.format(repo=str(REPO_ROOT), hp_str=TRAIN_HP))
+  script.write_text(TRAIN_WORKER.format(repo=str(REPO_ROOT),
+                                        hp_str=TRAIN_HP + extra_hp))
   ckpt_dir = tmp_path / "ckpts"
   logdir = tmp_path / "logs"
 
