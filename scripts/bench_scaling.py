@@ -103,7 +103,13 @@ def main():
                     (hp.batch_size, hp.segment_length)).astype(np.float32),
         NamedSharding(mesh, P(mesh_lib.DATA_AXIS)))
 
-    state, loss = step(state, batch)  # compile + warmup
+    # TWO warmup steps: the first compiles; the second compiles AGAIN on
+    # mesh runs (the donated state comes back with jit-chosen output
+    # shardings that differ from the explicit shard_params placement of
+    # call 1) and only then the program is steady-state.
+    state, loss = step(state, batch)
+    float(loss)
+    state, loss = step(state, batch)
     float(loss)
     t0 = time.perf_counter()
     for _ in range(args.iters):

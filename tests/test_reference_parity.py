@@ -317,3 +317,63 @@ class TestDenoiserParity:
     bias_dev = float(np.abs(my_denoiser.bias_spec
                             - ref_denoiser.bias_spec.numpy()).max())
     assert bias_dev < 1e-4, f"bias_spec deviation grew: {bias_dev}"
+
+
+class TestTrainingTrajectoryParity:
+  """Gradients + Adam dynamics vs the reference, end-to-end: identical
+  weights and batch, N optimizer steps, loss trajectories must track.
+
+  Forward parity alone (above) does not cover the backward pass; this does —
+  torch autograd + torch.optim.Adam (reference train.py:190-199, 241-250)
+  against jax.grad + optax.adam over the SAME weight-normed parametrization.
+  """
+
+  def test_adam_loss_trajectory_matches(self):
+    import optax
+
+    from waveglow_tpu.training.step import make_optimizer
+
+    model, params, config, hp = make_pair(seed=8)
+    mel, audio = rand_mel_audio(frames=6, seed=8)
+    lr, sigma, steps = 1e-3, 1.0, 3
+
+    # --- reference trajectory (torch) ---
+    criterion = ref.train.WaveGlowLoss(sigma=sigma)
+    opt = torch.optim.Adam(model.parameters(), lr=lr)
+    ref_losses = []
+    for _ in range(steps):
+      opt.zero_grad()
+      out = model((torch.from_numpy(mel), torch.from_numpy(audio)))
+      loss = criterion(out, None)
+      ref_losses.append(float(loss))
+      loss.backward()
+      opt.step()
+
+    # --- native trajectory (jax.grad + optax) on the imported params ---
+    import jax
+
+    optimizer = make_optimizer(lr)
+    opt_state = optimizer.init(params)
+
+    def loss_fn(p):
+      z, log_s, log_det = forward(p, config, jnp.asarray(mel),
+                                  jnp.asarray(audio))
+      return waveglow_loss(z, log_s, log_det, sigma)
+
+    loss_grad = jax.jit(jax.value_and_grad(loss_fn))
+    my_losses = []
+    for _ in range(steps):
+      loss, grads = loss_grad(params)
+      my_losses.append(float(loss))
+      updates, opt_state = optimizer.update(grads, opt_state, params)
+      params = optax.apply_updates(params, updates)
+
+    # step 1 is pure forward parity; later steps additionally require the
+    # grads and Adam moments to match (zero-grad leaves stay zero in both;
+    # float-noise-gradient leaves can step differently but are first-order
+    # loss-insensitive)
+    assert my_losses[0] == pytest.approx(ref_losses[0], rel=1e-4)
+    for mine, theirs in zip(my_losses[1:], ref_losses[1:]):
+      assert mine == pytest.approx(theirs, rel=1e-3)
+    # the trajectory must actually move (guard against vacuous comparison)
+    assert abs(ref_losses[-1] - ref_losses[0]) > 1e-4

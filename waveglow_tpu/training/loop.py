@@ -158,6 +158,9 @@ def train(custom_hparams: Optional[Dict[str, str]], logdir: Optional[Path],
       # multi-process runs need a global mesh covering every device
       mesh_data = len(jax.devices()) // mesh_model
     mesh = mesh_lib.make_mesh(mesh_data, mesh_model)
+    # Note: mesh runs compile twice — step 2 recompiles because the donated
+    # state returns with jit-chosen output shardings that differ from this
+    # explicit placement; from step 3 the program is steady-state.
     params = shard_params(params, mesh)
     batch_sharding = NamedSharding(mesh, P(mesh_lib.DATA_AXIS))
 
