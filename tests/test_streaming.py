@@ -118,3 +118,44 @@ class TestInferChunked:
         diverged = True
         break
     assert diverged
+
+
+class TestStreamChunks:
+
+  def test_pieces_reassemble_to_chunked_output(self):
+    """The generator yields time-ordered (start_sample, piece) pairs whose
+    concatenation equals infer_chunked exactly (same windows, same noise)."""
+    from waveglow_tpu.inference.streaming import stream_chunks
+
+    params = _model(seed=3)
+    rng = np.random.default_rng(3)
+    frames = 40
+    mel = jnp.asarray(rng.standard_normal((1, 80, frames)).astype(np.float32))
+    key = jax.random.PRNGKey(11)
+
+    whole = infer_chunked(params, CFG, mel, rng=key, chunk_frames=8)
+
+    starts, pieces = [], []
+    for start, piece in stream_chunks(params, CFG, mel, rng=key,
+                                      chunk_frames=8):
+      starts.append(start)
+      pieces.append(np.asarray(piece))
+
+    # time-ordered, contiguous coverage
+    assert starts[0] == 0
+    offset = 0
+    for start, piece in zip(starts, pieces):
+      assert start == offset
+      offset += piece.shape[1]
+    assert offset == frames * 256
+
+    np.testing.assert_array_equal(np.concatenate(pieces, axis=1),
+                                  np.asarray(whole))
+
+  def test_short_input_single_piece(self):
+    from waveglow_tpu.inference.streaming import stream_chunks
+    params = _model(seed=4)
+    mel = jnp.zeros((1, 80, 6))
+    out = list(stream_chunks(params, CFG, mel, chunk_frames=512))
+    assert len(out) == 1 and out[0][0] == 0
+    assert out[0][1].shape == (1, 6 * 256)

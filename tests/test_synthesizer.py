@@ -123,3 +123,20 @@ class TestDenoiserModes:
     from waveglow_tpu.inference.denoiser import Denoiser
     with pytest.raises(ValueError):
       Denoiser(synth.params, synth.config, TSTFTHParams(), mode="bogus")
+
+
+class TestSynthesizerStreaming:
+
+  def test_stream_pieces_cover_utterance(self, synth):
+    mel = rand_mel(frames=30, seed=4)
+    offset, pieces = 0, []
+    for start, piece in synth.stream(mel, seed=2, chunk_frames=8):
+      assert start == offset
+      assert piece.ndim == 1
+      offset += len(piece)
+      pieces.append(piece)
+    assert offset == 30 * 256
+    # streaming reassembles to the chunked-inference output for the same seed
+    whole = synth.infer(mel, seed=2, denoiser_strength=0.0,
+                        chunk_frames=8).wav
+    np.testing.assert_array_equal(np.concatenate(pieces), whole)

@@ -37,7 +37,7 @@ from __future__ import annotations
 
 import functools
 import math
-from typing import List, Optional
+from typing import Iterator, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -45,7 +45,8 @@ import jax.numpy as jnp
 from waveglow_tpu.models.waveglow import (UPSAMPLE_KERNEL, UPSAMPLE_STRIDE,
                                           WaveGlowConfig, block_noise, infer)
 
-__all__ = ["block_noise", "infer_chunked", "receptive_halo_frames"]
+__all__ = ["block_noise", "infer_chunked", "receptive_halo_frames",
+           "stream_chunks"]
 
 
 def receptive_halo_frames(config: WaveGlowConfig) -> int:
@@ -78,6 +79,29 @@ def infer_chunked(params, config: WaveGlowConfig, mel: jnp.ndarray, *,
     ``infer(params, config, mel, noise=block_noise(...))`` with identical
     injected noise, up to compilation-dependent float rounding.
   """
+  pieces = [piece for _, piece in
+            stream_chunks(params, config, mel, sigma=sigma, rng=rng,
+                          chunk_frames=chunk_frames, halo_frames=halo_frames,
+                          compute_dtype=compute_dtype, scan_flows=scan_flows,
+                          use_pallas=use_pallas)]
+  return jnp.concatenate(pieces, axis=1)
+
+
+def stream_chunks(params, config: WaveGlowConfig, mel: jnp.ndarray, *,
+                  sigma: float = 1.0, rng: Optional[jax.Array] = None,
+                  chunk_frames: int = 256,
+                  halo_frames: Optional[int] = None,
+                  compute_dtype=None, scan_flows: bool = False,
+                  use_pallas: bool = False
+                  ) -> Iterator[Tuple[int, jnp.ndarray]]:
+  """Generator form of :func:`infer_chunked` for low-latency serving.
+
+  Yields ``(start_sample, wav_piece [B, piece_samples])`` in time order as
+  each window finishes on-device — a player can start after the first chunk
+  (~chunk latency) instead of waiting for the whole utterance. Concatenating
+  every piece reproduces :func:`infer_chunked` exactly (same windows, same
+  position-keyed noise).
+  """
   if chunk_frames < 1:
     raise ValueError(f"chunk_frames must be >= 1, got {chunk_frames}")
   if rng is None:
@@ -89,21 +113,21 @@ def infer_chunked(params, config: WaveGlowConfig, mel: jnp.ndarray, *,
 
   if total_frames <= window:
     noise = block_noise(rng, config, batch, 0, total_frames)
-    return infer(params, config, mel, sigma=sigma, noise=noise,
-                 compute_dtype=compute_dtype, scan_flows=scan_flows,
-                 use_pallas=use_pallas)
+    yield 0, infer(params, config, mel, sigma=sigma, noise=noise,
+                   compute_dtype=compute_dtype, scan_flows=scan_flows,
+                   use_pallas=use_pallas)
+    return
 
   dtype_key = None if compute_dtype is None else jnp.dtype(compute_dtype).name
   run_window = _window_fn(config, window, dtype_key, scan_flows, use_pallas)
 
-  pieces = []
   for s in range(0, total_frames, chunk_frames):
     e = min(s + chunk_frames, total_frames)
     a = max(0, min(s - halo_frames, total_frames - window))
     wav_w = run_window(params, mel, a, jnp.float32(sigma), rng)
     lo = (s - a) * UPSAMPLE_STRIDE
-    pieces.append(wav_w[:, lo:lo + (e - s) * UPSAMPLE_STRIDE])
-  return jnp.concatenate(pieces, axis=1)
+    yield (s * UPSAMPLE_STRIDE,
+           wav_w[:, lo:lo + (e - s) * UPSAMPLE_STRIDE])
 
 
 @functools.lru_cache(maxsize=16)

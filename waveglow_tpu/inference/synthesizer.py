@@ -139,6 +139,28 @@ class Synthesizer:
 
     wav_np = np.asarray(wav).squeeze()
     wav_denoised_np = np.asarray(wav_denoised).squeeze()
+    return self._result(wav_np, wav_denoised_np, inference_duration_s,
+                        denoising_duration_s, timepoint)
+
+  def stream(self, mel: np.ndarray, *, sigma: float = 1.0, seed: int = 0,
+             chunk_frames: int = 256):
+    """Yield ``(start_sample, wav_piece)`` numpy pairs as synthesis
+    progresses — playback can begin after the first chunk instead of the
+    whole utterance (no denoising; pieces reassemble to the chunked path's
+    output exactly). See waveglow_tpu.inference.streaming.stream_chunks.
+    """
+    from waveglow_tpu.inference.streaming import stream_chunks
+    mel = jnp.asarray(mel, dtype=jnp.float32)
+    if mel.ndim == 2:
+      mel = mel[None]
+    for start, piece in stream_chunks(
+        self.params, self.config, mel, sigma=sigma,
+        rng=jax.random.PRNGKey(seed), chunk_frames=chunk_frames,
+        compute_dtype=self._cdt, scan_flows=self.hparams.scan_flows):
+      yield start, np.asarray(piece)[0]
+
+  def _result(self, wav_np, wav_denoised_np, inference_duration_s,
+              denoising_duration_s, timepoint) -> InferenceResult:
 
     was_overamplified = bool(np.abs(wav_np).max() > 1.0)
     if was_overamplified:
