@@ -207,6 +207,11 @@ def train(custom_hparams: Optional[Dict[str, str]], logdir: Optional[Path],
   if use_mesh:
     # sharded batches must be full-size and identical in count on all hosts
     val_batches = (len(valset) // process_count) // local_batch_size
+    if val_batches == 0:
+      logger.warning(
+          "Validation set (%d entries) is smaller than one global batch "
+          "(%d) — validation loss will be NaN in mesh mode.",
+          len(valset), hparams.batch_size)
     val_loader = BatchLoader(val_ds, local_batch_size, drop_last=True,
                              num_batches=val_batches)
   else:
