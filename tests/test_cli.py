@@ -97,6 +97,20 @@ class TestEndToEnd:
     _, after = get_last_checkpoint(workspace / "ckpts")
     assert after > before  # resumed and advanced, not restarted at 1
 
+  def test_02c_train_profile_trace(self, workspace, tmp_path):
+    """--profile-dir captures a jax.profiler trace of the run."""
+    trace_dir = tmp_path / "trace"
+    custom = TINY.replace("epochs=1", "epochs=4")
+    rc = run(["train", str(workspace / "train"), str(workspace / "val"),
+              str(workspace / "ckpts"), "--custom-hparams", custom,
+              "--auto-resume", "--profile-dir", str(trace_dir),
+              "--tl-dir", str(workspace / "logs"),
+              "--log", str(workspace / "cli.log")])
+    assert rc == 0
+    # jax writes plugins/profile/<ts>/*.trace.json.gz (or .pb) under the dir
+    captured = list(trace_dir.rglob("*"))
+    assert any(p.is_file() for p in captured), captured
+
   def test_03_synthesize_wav(self, workspace):
     from waveglow_tpu.checkpointing.store import get_last_checkpoint
     ckpt, _ = get_last_checkpoint(workspace / "ckpts")
@@ -179,10 +193,16 @@ class TestEndToEnd:
     assert len(pd.read_csv(out / "total.csv", sep="\t")) == 2
 
   def test_08_validate_select_stride(self, workspace):
+    from waveglow_tpu.checkpointing.store import get_all_checkpoint_iterations
+    its = get_all_checkpoint_iterations(workspace / "ckpts")
+    expected = sorted((str(i) for i in its if i % 4 == 0), key=int)
+    assert expected, its  # earlier tests trained past iteration 4
+
     out = workspace / "validation_select"
     rc = run(["validate", str(workspace / "ckpts"), str(out),
               str(workspace / "val"), "--custom-seed", "5",
               "--select", "4",
               "--log", str(workspace / "cli.log")])
     assert rc == 0
-    assert sorted(p.name for p in out.iterdir() if p.is_dir()) == ["4"]
+    got = sorted((p.name for p in out.iterdir() if p.is_dir()), key=int)
+    assert got == expected

@@ -156,3 +156,68 @@ class TestGDriveInterstitialParsing:
   def test_no_form_returns_none(self):
     from waveglow_tpu.checkpointing.download import parse_gdrive_interstitial
     assert parse_gdrive_interstitial("<html>quota exceeded</html>") is None
+
+
+class TestDownloadCommand:
+  """End-to-end `download` subcommand against a localhost HTTP server —
+  everything but the real NGC/Drive endpoints (unreachable, docs/PARITY.md)
+  is exercised: fetch, atomic write, in-place convert to native npz."""
+
+  @staticmethod
+  def _serve(directory):
+    import functools
+    import http.server
+    import threading
+    handler = functools.partial(http.server.SimpleHTTPRequestHandler,
+                                directory=str(directory))
+    httpd = http.server.ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    return httpd, httpd.server_address[1]
+
+  def test_download_cli_fetches_and_converts(self, tmp_path, monkeypatch):
+    from waveglow_tpu.checkpointing import download as dl_mod
+    from waveglow_tpu.checkpointing.store import \
+        CheckpointWaveglow as NativeCkpt
+    from waveglow_tpu.cli.main import run
+
+    ckpt, config, hp = native_checkpoint(seed=5)
+    serve_dir = tmp_path / "srv"
+    serve_dir.mkdir()
+    export_torch_checkpoint(ckpt, serve_dir / "waveglow_v3.pt")
+
+    httpd, port = self._serve(serve_dir)
+    try:
+      monkeypatch.setitem(dl_mod._NGC_URLS, 3,
+                          f"http://127.0.0.1:{port}/waveglow_v3.pt")
+      dest = tmp_path / "dl" / "checkpoint.pt"
+      rc = run(["download", str(dest), "--ver", "3",
+                "--log", str(tmp_path / "cli.log")])
+      assert rc == 0
+      back = NativeCkpt.load(dest)  # in-place converted to native npz
+      assert back.iteration == 7
+      assert back.get_hparams().n_flows == 5
+    finally:
+      httpd.shutdown()
+
+  def test_gdrive_confirm_flow_over_localhost(self, tmp_path, monkeypatch):
+    """v1 path: interstitial HTML -> parsed form -> confirmed fetch."""
+    from waveglow_tpu.checkpointing import download as dl_mod
+
+    serve_dir = tmp_path / "srv"
+    serve_dir.mkdir()
+    payload = b"FAKE-CHECKPOINT-BYTES" * 100
+    (serve_dir / "payload.pt").write_bytes(payload)
+
+    httpd, port = self._serve(serve_dir)
+    try:
+      (serve_dir / "inter.html").write_text(f"""
+        <html><body><form id="download-form"
+          action="http://127.0.0.1:{port}/payload.pt" method="get">
+          <input type="hidden" name="confirm" value="t"/>
+          <input type="hidden" name="uuid" value="u-1"/>
+        </form></body></html>""")
+      dest = tmp_path / "v1.pt"
+      dl_mod._download_gdrive(f"http://127.0.0.1:{port}/inter.html", dest)
+      assert dest.read_bytes() == payload
+    finally:
+      httpd.shutdown()

@@ -46,6 +46,7 @@ def init_training_parser(parser: ArgumentParser):
                       help="if CHECKPOINTS-FOLDER already holds checkpoints, "
                            "continue from the latest instead of failing — "
                            "makes the same command preemption-safe to re-run")
+  _add_profile_arg(parser)
   _add_multihost_args(parser)
   return train_ns
 
@@ -63,8 +64,17 @@ def init_continue_training_parser(parser: ArgumentParser):
   add_compute_arguments(parser)
   parser.add_argument("--tl-dir", type=parse_path, metavar="LOG-DIR",
                       default=default_log)
+  _add_profile_arg(parser)
   _add_multihost_args(parser)
   return continue_train_ns
+
+
+def _add_profile_arg(parser: ArgumentParser) -> None:
+  parser.add_argument("--profile-dir", type=get_optional(parse_path),
+                      metavar="TRACE-DIR", default=None,
+                      help="capture a jax.profiler trace of the run into "
+                           "this folder (open with TensorBoard/XProf); use "
+                           "with a bounded run — traces grow with steps")
 
 
 def _add_multihost_args(parser: ArgumentParser) -> None:
@@ -118,10 +128,12 @@ def train_ns(ns: Namespace) -> bool:
   logger.info("Trainset: %d entries | Valset: %d entries",
               len(trainset), len(valset))
 
-  train(custom_hparams=_custom_hparams(ns), logdir=ns.tl_dir,
-        trainset=trainset, valset=valset,
-        save_checkpoint_dir=ns.checkpoints_dir, checkpoint=checkpoint,
-        warm_model=warm_model)
+  from waveglow_tpu.profiling import trace
+  with trace(ns.profile_dir):
+    train(custom_hparams=_custom_hparams(ns), logdir=ns.tl_dir,
+          trainset=trainset, valset=valset,
+          save_checkpoint_dir=ns.checkpoints_dir, checkpoint=checkpoint,
+          warm_model=warm_model)
   return True
 
 
@@ -139,8 +151,10 @@ def continue_train_ns(ns: Namespace) -> bool:
   trainset = load_dataset(ns.train_folder)
   valset = load_dataset(ns.val_folder)
 
-  train(custom_hparams=_custom_hparams(ns), logdir=ns.tl_dir,
-        trainset=trainset, valset=valset,
-        save_checkpoint_dir=ns.checkpoints_dir, checkpoint=checkpoint,
-        warm_model=None)
+  from waveglow_tpu.profiling import trace
+  with trace(ns.profile_dir):
+    train(custom_hparams=_custom_hparams(ns), logdir=ns.tl_dir,
+          trainset=trainset, valset=valset,
+          save_checkpoint_dir=ns.checkpoints_dir, checkpoint=checkpoint,
+          warm_model=None)
   return True
