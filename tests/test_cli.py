@@ -206,3 +206,25 @@ class TestEndToEnd:
     assert rc == 0
     got = sorted((p.name for p in out.iterdir() if p.is_dir()), key=int)
     assert got == expected
+
+
+class TestDebugMarker:
+
+  def test_marker_file_forces_debug_logging(self, tmp_path, monkeypatch):
+    """$TMP/waveglow-tpu-debug turns on debug logging without --debug
+    (reference cli.py:156-161)."""
+    import tempfile
+    monkeypatch.setattr(tempfile, "gettempdir", lambda: str(tmp_path))
+    from waveglow_tpu.cli.main import debug_file_exists
+    assert not debug_file_exists()
+    (tmp_path / "waveglow-tpu-debug").write_text("")
+    assert debug_file_exists()
+
+    # a real command run picks it up: DEBUG records land in the log file
+    import logging
+    log_path = tmp_path / "dbg.log"
+    rc = run(["validate", str(tmp_path), str(tmp_path / "out"),
+              str(tmp_path), "--log", str(log_path)])
+    # no wavs -> command fails cleanly, but the file logger is DEBUG-level
+    assert rc == 1
+    assert logging.getLogger("file-logger").level == logging.DEBUG

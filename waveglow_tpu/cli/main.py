@@ -117,6 +117,12 @@ def build_parser() -> argparse.ArgumentParser:
   return parser
 
 
+def debug_file_exists() -> bool:
+  """``$TMP/waveglow-tpu-debug`` marker forces debug logging for every run
+  without editing commands (reference cli.py:156-161 semantics)."""
+  return (Path(tempfile.gettempdir()) / "waveglow-tpu-debug").is_file()
+
+
 def run(args=None) -> int:
   from waveglow_tpu.cli.logging_config import (configure_root_logger,
                                                log_platform_banner,
@@ -128,8 +134,9 @@ def run(args=None) -> int:
     parser.print_help()
     return 2
 
-  configure_root_logger(debug=ns.debug)
-  try_init_file_logger(ns.log, debug=ns.debug)
+  debug = ns.debug or debug_file_exists()
+  configure_root_logger(debug=debug)
+  try_init_file_logger(ns.log, debug=debug)
   log_platform_banner(__version__)
 
   start = time.perf_counter()
