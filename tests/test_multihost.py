@@ -90,8 +90,8 @@ TRAIN_WORKER = textwrap.dedent("""
     import numpy as np
     from jax.experimental import multihost_utils
 
-    from waveglow_tpu.checkpointing.store import (CheckpointWaveglow,
-                                                  get_last_checkpoint)
+    from waveglow_tpu.checkpointing import (get_last_checkpoint_any,
+                                            load_checkpoint_any)
     from waveglow_tpu.hparams import parse_custom_hparams
     from waveglow_tpu.training.data import load_dataset
     from waveglow_tpu.training.loop import train
@@ -106,9 +106,9 @@ TRAIN_WORKER = textwrap.dedent("""
     multihost_utils.sync_global_devices("phase1-saved")
 
     # phase 2: the real continue-train path from the saved checkpoint
-    path, it = get_last_checkpoint(Path(ckpt_dir))
+    path, it = get_last_checkpoint_any(Path(ckpt_dir))
     assert it == 2, it
-    ckpt = CheckpointWaveglow.load(path)
+    ckpt = load_checkpoint_any(path)
     state = train(hp, Path(logdir), trainset, valset, Path(ckpt_dir),
                   checkpoint=ckpt, max_iterations=4)
 
@@ -203,6 +203,10 @@ TRAIN_HP = ("n_flows=2,n_channels=32,n_layers=2,segment_length=2048,"
     ",mesh_model=2",    # DP x TP: params sharded over the model axis, so
                         # checkpoint saves must all-gather non-addressable
                         # shards (the collective _fetch_leaf branch)
+    ",mesh_model=2,checkpoint_backend=orbax",
+                        # DP x TP with GATHER-FREE orbax saves: each process
+                        # writes only its own shards, resume goes through the
+                        # unified load_checkpoint_any path
 ])
 def test_two_process_train_loop_with_resume(tmp_path, extra_hp):
   """Drives training.loop.train() itself across 2 processes: fresh train,

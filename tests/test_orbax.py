@@ -1,0 +1,206 @@
+"""Orbax distributed checkpoint store: round-trips, sharded save/restore,
+unified discovery, and the train-loop integration (checkpoint_backend=orbax).
+
+The npz store is the reference-parity format; the orbax store is the
+pod-scale backend (per-shard writes, gather-free). These tests pin that both
+hold the SAME payload semantics (reference checkpoint.py:13-45): a checkpoint
+saved by either backend restores into an identical train state.
+"""
+
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from waveglow_tpu.checkpointing import (get_all_iterations_any,
+                                        get_checkpoint_any,
+                                        get_last_checkpoint_any,
+                                        load_checkpoint_any)
+from waveglow_tpu.checkpointing import orbax_store
+from waveglow_tpu.checkpointing.store import CheckpointWaveglow, flatten_tree
+from waveglow_tpu.hparams import HParams, overwrite_custom_hparams
+from waveglow_tpu.models.waveglow import WaveGlowConfig, init_params
+from waveglow_tpu.parallel import mesh as mesh_lib
+from waveglow_tpu.parallel.sharding import shard_params
+from waveglow_tpu.training.step import init_state, make_optimizer
+
+
+def tiny_hp(**kw):
+  base = {"n_flows": "2", "n_layers": "2", "n_channels": "64",
+          "segment_length": "2048", "batch_size": "4"}
+  base.update({k: str(v) for k, v in kw.items()})
+  return overwrite_custom_hparams(HParams(), base)
+
+
+def tiny_state(hp, seed=0):
+  config = WaveGlowConfig.from_hparams(hp)
+  params = init_params(config, seed=seed)
+  optimizer = make_optimizer(hp.learning_rate)
+  return params, optimizer, optimizer.init(params)
+
+
+def assert_trees_equal(a, b):
+  fa, fb = flatten_tree(a), flatten_tree(b)
+  assert set(fa) == set(fb)
+  for k in fa:
+    np.testing.assert_array_equal(np.asarray(fa[k]), np.asarray(fb[k]),
+                                  err_msg=k)
+
+
+class TestRoundTrip:
+
+  def test_host_round_trip_payload(self, tmp_path):
+    hp = tiny_hp()
+    params, optimizer, opt_state = tiny_state(hp)
+    path = orbax_store.save_sharded(tmp_path, 17, params, opt_state, hp)
+    assert path == tmp_path / "17.orbax"
+    assert orbax_store.is_orbax_checkpoint(path)
+
+    ckpt = orbax_store.restore_host(path)
+    assert ckpt.iteration == 17
+    assert ckpt.learning_rate == hp.learning_rate
+    assert ckpt.hparams["n_flows"] == 2
+    assert_trees_equal(ckpt.state_dict, params)
+    opt_leaves = jax.tree_util.tree_leaves(opt_state)
+    assert len(ckpt.optimizer) == len(opt_leaves)
+    for mine, orig in zip(ckpt.optimizer, opt_leaves):
+      np.testing.assert_array_equal(np.asarray(mine), np.asarray(orig))
+
+  def test_load_checkpoint_any_detects_orbax_dir(self, tmp_path):
+    hp = tiny_hp()
+    params, optimizer, opt_state = tiny_state(hp)
+    path = orbax_store.save_sharded(tmp_path, 3, params, opt_state, hp)
+    ckpt = load_checkpoint_any(path)
+    assert isinstance(ckpt, CheckpointWaveglow)
+    assert ckpt.iteration == 3
+    # restored state feeds the same consumers as an npz checkpoint
+    restored_hp = ckpt.get_hparams()
+    assert restored_hp.n_channels == hp.n_channels
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+class TestShardedSaveRestore:
+
+  def test_sharded_save_equals_host_save(self, tmp_path):
+    """Saving a DPxTP-sharded state must serialize the same bytes as saving
+    the host state: shards are written where they live, not gathered."""
+    hp = tiny_hp()
+    params, optimizer, opt_state = tiny_state(hp)
+    mesh = mesh_lib.make_mesh(data=4, model=2)
+    sharded_params = shard_params(params, mesh)
+    sharded_opt = optimizer.init(sharded_params)
+
+    orbax_store.save_sharded(tmp_path / "sharded", 5, sharded_params,
+                             sharded_opt, hp)
+    orbax_store.save_sharded(tmp_path / "host", 5, params, opt_state, hp)
+
+    a = orbax_store.restore_host(tmp_path / "sharded" / "5.orbax")
+    b = orbax_store.restore_host(tmp_path / "host" / "5.orbax")
+    assert_trees_equal(a.state_dict, b.state_dict)
+    for x, y in zip(a.optimizer, b.optimizer):
+      np.testing.assert_array_equal(x, y)
+
+  def test_restore_sharded_places_on_mesh(self, tmp_path):
+    hp = tiny_hp()
+    params, optimizer, opt_state = tiny_state(hp)
+    path = orbax_store.save_sharded(tmp_path, 9, params, opt_state, hp)
+
+    mesh = mesh_lib.make_mesh(data=2, model=4)
+    template = shard_params(params, mesh)
+    r_params, r_opt, meta = orbax_store.restore_sharded(path, template,
+                                                        optimizer)
+    assert meta["iteration"] == 9
+
+    # every leaf carries the template's sharding...
+    leaves_r = jax.tree_util.tree_leaves(r_params)
+    leaves_t = jax.tree_util.tree_leaves(template)
+    assert len(leaves_r) == len(leaves_t)
+    for lr, lt in zip(leaves_r, leaves_t):
+      assert lr.sharding == lt.sharding, (lr.shape, lr.sharding, lt.sharding)
+    # ...a TP-sharded weight is actually distributed, not replicated
+    wn = r_params["flows"][0]["wn"]
+    in_w = wn["in_layers"][0]["v"] if "v" in wn["in_layers"][0] \
+        else wn["in_layers"][0]["w"]
+    shard_shape = in_w.addressable_shards[0].data.shape
+    assert shard_shape[-1] == in_w.shape[-1] // 4
+    # ...and values round-trip exactly
+    assert_trees_equal(jax.device_get(r_params), params)
+    for x, y in zip(jax.tree_util.tree_leaves(r_opt),
+                    jax.tree_util.tree_leaves(opt_state)):
+      np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+class TestDiscovery:
+
+  def test_unified_discovery_sees_both_backends(self, tmp_path):
+    hp = tiny_hp()
+    params, optimizer, opt_state = tiny_state(hp)
+    # one npz, one orbax, in the same directory
+    CheckpointWaveglow.from_state(params, opt_state, hp, 100).save(
+        tmp_path / "100.npz")
+    orbax_store.save_sharded(tmp_path, 200, params, opt_state, hp)
+
+    assert get_all_iterations_any(tmp_path) == [100, 200]
+    path, it = get_last_checkpoint_any(tmp_path)
+    assert it == 200 and path.suffix == ".orbax"
+    assert get_checkpoint_any(tmp_path, 100).suffix == ".npz"
+    with pytest.raises(FileNotFoundError):
+      get_checkpoint_any(tmp_path, 150)
+
+  def test_empty_dir(self, tmp_path):
+    assert get_all_iterations_any(tmp_path) == []
+    with pytest.raises(FileNotFoundError):
+      get_last_checkpoint_any(tmp_path)
+
+
+class TestTrainLoopIntegration:
+
+  def test_train_saves_orbax_and_resumes(self, tmp_path):
+    """train() with checkpoint_backend=orbax writes .orbax directories and a
+    continue-train from them resumes at the right iteration."""
+    from tests.test_training import write_noise_dataset
+    from waveglow_tpu.training.data import load_dataset
+    from waveglow_tpu.training.loop import train
+
+    write_noise_dataset(tmp_path / "train", n=4, seconds=0.4)
+    write_noise_dataset(tmp_path / "val", n=2, seconds=0.4, seed=1)
+    trainset = load_dataset(tmp_path / "train")
+    valset = load_dataset(tmp_path / "val")
+    ckpt_dir = tmp_path / "ckpts"
+
+    custom = {"n_flows": "2", "n_channels": "32", "n_layers": "2",
+              "segment_length": "4096", "batch_size": "2", "epochs": "2",
+              "iters_per_checkpoint": "0", "epochs_per_checkpoint": "1",
+              "checkpoint_backend": "orbax"}
+    train(custom_hparams=custom, logdir=None, trainset=trainset,
+          valset=valset, save_checkpoint_dir=ckpt_dir, max_iterations=2)
+
+    its = get_all_iterations_any(ckpt_dir)
+    assert its == [1, 2]  # first-iteration save + epoch-end save
+    assert (ckpt_dir / "2.orbax").is_dir()
+
+    ckpt = load_checkpoint_any(ckpt_dir / "2.orbax")
+    assert ckpt.iteration == 2
+    assert ckpt.get_hparams().checkpoint_backend == "orbax"
+
+    # resume: continues counting from iteration 2 and saves 4.orbax
+    train(custom_hparams=None, logdir=None, trainset=trainset,
+          valset=valset, save_checkpoint_dir=ckpt_dir, checkpoint=ckpt,
+          max_iterations=4)
+    assert 4 in get_all_iterations_any(ckpt_dir)
+    assert load_checkpoint_any(ckpt_dir / "4.orbax").iteration == 4
+
+  def test_unknown_backend_rejected(self, tmp_path):
+    from tests.test_training import write_noise_dataset
+    from waveglow_tpu.training.data import load_dataset
+    from waveglow_tpu.training.loop import train
+
+    write_noise_dataset(tmp_path / "train", n=2, seconds=0.4)
+    trainset = load_dataset(tmp_path / "train")
+    with pytest.raises(ValueError, match="checkpoint_backend"):
+      train(custom_hparams={"checkpoint_backend": "zarr"}, logdir=None,
+            trainset=trainset, valset=trainset,
+            save_checkpoint_dir=tmp_path / "c", max_iterations=1)

@@ -102,22 +102,22 @@ def _custom_hparams(ns: Namespace):
 
 def train_ns(ns: Namespace) -> bool:
   _maybe_init_multihost(ns)
-  from waveglow_tpu.checkpointing import load_checkpoint_any
-  from waveglow_tpu.checkpointing.store import (
-      CheckpointWaveglow, get_all_checkpoint_iterations, get_last_checkpoint)
+  from waveglow_tpu.checkpointing import (get_all_iterations_any,
+                                          get_last_checkpoint_any,
+                                          load_checkpoint_any)
   from waveglow_tpu.training.data import load_dataset
   from waveglow_tpu.training.loop import train
 
   checkpoint = None
-  if getattr(ns, "auto_resume", False) and get_all_checkpoint_iterations(
+  if getattr(ns, "auto_resume", False) and get_all_iterations_any(
       ns.checkpoints_dir):
     # preemption-safe restart: the SAME train command picks up where the
     # killed run left off (all hosts load the same file, so a multi-host
     # job restarts coordinated at one step)
-    last_path, last_it = get_last_checkpoint(ns.checkpoints_dir)
+    last_path, last_it = get_last_checkpoint_any(ns.checkpoints_dir)
     logger.info("Auto-resume: continuing from iteration %d (%s)",
                 last_it, last_path)
-    checkpoint = CheckpointWaveglow.load(last_path)
+    checkpoint = load_checkpoint_any(last_path)
 
   warm_model = None
   if ns.pre_trained_model is not None and ns.warm_start and checkpoint is None:
@@ -139,14 +139,14 @@ def train_ns(ns: Namespace) -> bool:
 
 def continue_train_ns(ns: Namespace) -> bool:
   _maybe_init_multihost(ns)
-  from waveglow_tpu.checkpointing.store import (CheckpointWaveglow,
-                                                get_last_checkpoint)
+  from waveglow_tpu.checkpointing import (get_last_checkpoint_any,
+                                          load_checkpoint_any)
   from waveglow_tpu.training.data import load_dataset
   from waveglow_tpu.training.loop import train
 
-  last_path, last_it = get_last_checkpoint(ns.checkpoints_dir)
+  last_path, last_it = get_last_checkpoint_any(ns.checkpoints_dir)
   logger.info("Continuing from iteration %d (%s)", last_it, last_path)
-  checkpoint = CheckpointWaveglow.load(last_path)
+  checkpoint = load_checkpoint_any(last_path)
 
   trainset = load_dataset(ns.train_folder)
   valset = load_dataset(ns.val_folder)

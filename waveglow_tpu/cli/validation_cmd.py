@@ -71,10 +71,10 @@ def init_validation_parser(parser: ArgumentParser):
 
 
 def validate_ns(ns: Namespace) -> bool:
-  from waveglow_tpu.checkpointing.store import (CheckpointWaveglow,
-                                                filter_checkpoints,
-                                                get_all_checkpoint_iterations,
-                                                get_checkpoint)
+  from waveglow_tpu.checkpointing import (get_all_iterations_any,
+                                          get_checkpoint_any,
+                                          load_checkpoint_any)
+  from waveglow_tpu.checkpointing.store import filter_checkpoints
   from waveglow_tpu.dsp.audio_io import float_to_wav
   from waveglow_tpu.eval.plots import save_image, stack_images_vertically
   from waveglow_tpu.eval.validation import get_df, validate
@@ -88,7 +88,7 @@ def validate_ns(ns: Namespace) -> bool:
   if ns.custom_checkpoints:
     iterations = list(ns.custom_checkpoints)
   else:
-    its = get_all_checkpoint_iterations(ns.checkpoints_dir)
+    its = get_all_iterations_any(ns.checkpoints_dir)
     if not its:
       logger.error("No checkpoints found in %s", ns.checkpoints_dir)
       return False
@@ -110,8 +110,8 @@ def validate_ns(ns: Namespace) -> bool:
   all_dfs = []
   for iteration in iterations:
     logger.info("Validating checkpoint iteration %d...", iteration)
-    ckpt_path = get_checkpoint(ns.checkpoints_dir, iteration)
-    checkpoint = CheckpointWaveglow.load(ckpt_path)
+    ckpt_path = get_checkpoint_any(ns.checkpoints_dir, iteration)
+    checkpoint = load_checkpoint_any(ckpt_path)
 
     out_dir = ns.output_dir / str(iteration)
 

@@ -92,6 +92,10 @@ class TpuHParams:
   # (differentiable via wn_layer_trainable's custom VJP). Off by default:
   # XLA's cross-layer fusion wins at stack level (docs/PERFORMANCE.md).
   use_pallas: bool = False
+  # Checkpoint save backend: "npz" (reference-parity single file; sharded
+  # states are all-gathered to host first) or "orbax" (per-shard distributed
+  # writes — save cost scales with LOCAL shard bytes; the pod-scale choice).
+  checkpoint_backend: str = "npz"
 
 
 @dataclass

@@ -128,6 +128,10 @@ def train(custom_hparams: Optional[Dict[str, str]], logdir: Optional[Path],
   else:
     hparams = HParams()
   hparams = overwrite_custom_hparams(hparams, custom_hparams)
+  if hparams.checkpoint_backend not in ("npz", "orbax"):
+    raise ValueError(
+        f"unknown checkpoint_backend {hparams.checkpoint_backend!r} "
+        "(expected 'npz' or 'orbax')")
   config = WaveGlowConfig.from_hparams(hparams)
 
   process_index = jax.process_index()
@@ -264,16 +268,27 @@ def train(custom_hparams: Optional[Dict[str, str]], logdir: Optional[Path],
                   loss=loss, duration_s=durations[-1])
 
       if check_save_it(epoch, iteration, save_settings):
-        # from_state gathers any non-addressable shards (a collective in
-        # multi-process runs) — every process must build it; only process 0
-        # writes the file.
-        ckpt = CheckpointWaveglow.from_state(
-            state["params"], state["opt_state"], hparams, iteration)
-        if process_index == 0:
-          Path(save_checkpoint_dir).mkdir(parents=True, exist_ok=True)
-          path = Path(save_checkpoint_dir) / get_checkpoint_filename(iteration)
-          ckpt.save(path)
-          logger.info("Saved checkpoint %s", path)
+        if hparams.checkpoint_backend == "orbax":
+          # gather-free distributed save: every process writes only its own
+          # addressable shards (collective — all processes call this)
+          from waveglow_tpu.checkpointing import orbax_store
+          path = orbax_store.save_sharded(
+              save_checkpoint_dir, iteration, state["params"],
+              state["opt_state"], hparams)
+          if process_index == 0:
+            logger.info("Saved checkpoint %s", path)
+        else:
+          # from_state gathers any non-addressable shards (a collective in
+          # multi-process runs) — every process must build it; only process 0
+          # writes the file.
+          ckpt = CheckpointWaveglow.from_state(
+              state["params"], state["opt_state"], hparams, iteration)
+          if process_index == 0:
+            Path(save_checkpoint_dir).mkdir(parents=True, exist_ok=True)
+            path = Path(save_checkpoint_dir) / get_checkpoint_filename(
+                iteration)
+            ckpt.save(path)
+            logger.info("Saved checkpoint %s", path)
         val_loss = validate_model(eval_loss, state["params"], val_loader, put)
         logger.info("Validation loss %d: %9f", iteration, val_loss)
         metrics.log(event="validation", iteration=iteration, loss=val_loss)
