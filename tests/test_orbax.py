@@ -133,6 +133,55 @@ class TestShardedSaveRestore:
       np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
 
 
+class TestAsyncSaver:
+
+  def test_async_round_trip(self, tmp_path):
+    """Async save: returns before the write completes, wait/close flushes,
+    and the result is byte-identical to a synchronous save."""
+    hp = tiny_hp()
+    params, optimizer, opt_state = tiny_state(hp)
+    with orbax_store.AsyncSaver() as saver:
+      p1 = saver.save(tmp_path, 1, params, opt_state, hp)
+      # a second save barriers on the first — both must land
+      p2 = saver.save(tmp_path, 2, params, opt_state, hp)
+      saver.wait()
+      assert orbax_store.is_orbax_checkpoint(p1)
+      assert orbax_store.is_orbax_checkpoint(p2)
+
+    sync_dir = tmp_path / "sync"
+    orbax_store.save_sharded(sync_dir, 1, params, opt_state, hp)
+    a = orbax_store.restore_host(p1)
+    b = orbax_store.restore_host(sync_dir / "1.orbax")
+    assert_trees_equal(a.state_dict, b.state_dict)
+    assert a.iteration == 1
+
+  def test_train_loop_async_checkpoints_complete_on_return(self, tmp_path):
+    """checkpoint_async=true: train() must not return with a torn
+    checkpoint — the finally-close flushes the in-flight write."""
+    from tests.test_training import write_noise_dataset
+    from waveglow_tpu.training.data import load_dataset
+    from waveglow_tpu.training.loop import train
+
+    write_noise_dataset(tmp_path / "train", n=4, seconds=0.4)
+    write_noise_dataset(tmp_path / "val", n=2, seconds=0.4, seed=1)
+    trainset = load_dataset(tmp_path / "train")
+    valset = load_dataset(tmp_path / "val")
+    ckpt_dir = tmp_path / "ckpts"
+
+    custom = {"n_flows": "2", "n_channels": "32", "n_layers": "2",
+              "segment_length": "4096", "batch_size": "2", "epochs": "2",
+              "iters_per_checkpoint": "0", "epochs_per_checkpoint": "1",
+              "checkpoint_backend": "orbax", "checkpoint_async": "true"}
+    train(custom_hparams=custom, logdir=None, trainset=trainset,
+          valset=valset, save_checkpoint_dir=ckpt_dir, max_iterations=2)
+
+    its = get_all_iterations_any(ckpt_dir)
+    assert its == [1, 2]
+    ckpt = load_checkpoint_any(ckpt_dir / "2.orbax")
+    assert ckpt.iteration == 2
+    assert ckpt.get_hparams().checkpoint_async is True
+
+
 class TestDiscovery:
 
   def test_unified_discovery_sees_both_backends(self, tmp_path):

@@ -96,6 +96,11 @@ class TpuHParams:
   # states are all-gathered to host first) or "orbax" (per-shard distributed
   # writes — save cost scales with LOCAL shard bytes; the pod-scale choice).
   checkpoint_backend: str = "npz"
+  # With the orbax backend: overlap the checkpoint disk write with training
+  # (device-to-host fetch stays synchronous, the TensorStore write runs in
+  # background threads). The write is barriered before the next save and at
+  # the end of training.
+  checkpoint_async: bool = False
 
 
 @dataclass

@@ -234,68 +234,87 @@ def train(custom_hparams: Optional[Dict[str, str]], logdir: Optional[Path],
   last_t = train_start
   durations = []
   stop = False
+  async_saver = None  # created lazily on first async orbax save
 
   continue_epoch = get_continue_epoch(iteration, batch_iterations)
-  for epoch in range(continue_epoch, hparams.epochs):
-    if stop:
-      break
-    start_batch = get_continue_batch_iteration(iteration, batch_iterations) \
-        if epoch == continue_epoch else 0
-    for batch in train_loader.epoch(epoch, start_batch):
-      state, loss = train_step(state, put(batch))
-      loss = float(loss)
-      iteration += 1
-      if not np.isfinite(loss):
-        # Fail loudly instead of training on garbage: the state is already
-        # poisoned (NaN grads reached Adam), so the recovery path is
-        # continue-train from the last checkpoint, possibly with a lower
-        # learning rate.
-        metrics.log(event="non_finite_loss", iteration=iteration, epoch=epoch)
-        raise FloatingPointError(
-            f"Non-finite training loss at iteration {iteration} "
-            f"(epoch {epoch + 1}). Restart from the last checkpoint "
-            f"with continue-train.")
-
-      now = time.perf_counter()
-      durations.append(now - last_t)
-      last_t = now
-      logger.info(
-          "Epoch: %d/%d | Iteration: %d | Train loss: %.6f | "
-          "%.2fs/it (avg %.2f) | total %.2fh",
-          epoch + 1, hparams.epochs, iteration, loss, durations[-1],
-          float(np.mean(durations)), (now - train_start) / 3600)
-      metrics.log(event="train_step", iteration=iteration, epoch=epoch,
-                  loss=loss, duration_s=durations[-1])
-
-      if check_save_it(epoch, iteration, save_settings):
-        if hparams.checkpoint_backend == "orbax":
-          # gather-free distributed save: every process writes only its own
-          # addressable shards (collective — all processes call this)
-          from waveglow_tpu.checkpointing import orbax_store
-          path = orbax_store.save_sharded(
-              save_checkpoint_dir, iteration, state["params"],
-              state["opt_state"], hparams)
-          if process_index == 0:
-            logger.info("Saved checkpoint %s", path)
-        else:
-          # from_state gathers any non-addressable shards (a collective in
-          # multi-process runs) — every process must build it; only process 0
-          # writes the file.
-          ckpt = CheckpointWaveglow.from_state(
-              state["params"], state["opt_state"], hparams, iteration)
-          if process_index == 0:
-            Path(save_checkpoint_dir).mkdir(parents=True, exist_ok=True)
-            path = Path(save_checkpoint_dir) / get_checkpoint_filename(
-                iteration)
-            ckpt.save(path)
-            logger.info("Saved checkpoint %s", path)
-        val_loss = validate_model(eval_loss, state["params"], val_loader, put)
-        logger.info("Validation loss %d: %9f", iteration, val_loss)
-        metrics.log(event="validation", iteration=iteration, loss=val_loss)
-
-      if max_iterations is not None and iteration >= max_iterations:
-        stop = True
+  try:
+    for epoch in range(continue_epoch, hparams.epochs):
+      if stop:
         break
+      start_batch = get_continue_batch_iteration(iteration, batch_iterations) \
+          if epoch == continue_epoch else 0
+      for batch in train_loader.epoch(epoch, start_batch):
+        state, loss = train_step(state, put(batch))
+        loss = float(loss)
+        iteration += 1
+        if not np.isfinite(loss):
+          # Fail loudly instead of training on garbage: the state is already
+          # poisoned (NaN grads reached Adam), so the recovery path is
+          # continue-train from the last checkpoint, possibly with a lower
+          # learning rate.
+          metrics.log(event="non_finite_loss", iteration=iteration,
+                      epoch=epoch)
+          raise FloatingPointError(
+              f"Non-finite training loss at iteration {iteration} "
+              f"(epoch {epoch + 1}). Restart from the last checkpoint "
+              f"with continue-train.")
+
+        now = time.perf_counter()
+        durations.append(now - last_t)
+        last_t = now
+        logger.info(
+            "Epoch: %d/%d | Iteration: %d | Train loss: %.6f | "
+            "%.2fs/it (avg %.2f) | total %.2fh",
+            epoch + 1, hparams.epochs, iteration, loss, durations[-1],
+            float(np.mean(durations)), (now - train_start) / 3600)
+        metrics.log(event="train_step", iteration=iteration, epoch=epoch,
+                    loss=loss, duration_s=durations[-1])
+
+        if check_save_it(epoch, iteration, save_settings):
+          if hparams.checkpoint_backend == "orbax":
+            # gather-free distributed save: every process writes only its
+            # own addressable shards (collective — all processes call this)
+            from waveglow_tpu.checkpointing import orbax_store
+            if hparams.checkpoint_async:
+              # non-blocking: device-to-host fetch now, disk write overlaps
+              # the following train steps (barriered before the next save
+              # and in the finally below)
+              if async_saver is None:
+                async_saver = orbax_store.AsyncSaver()
+              path = async_saver.save(
+                  save_checkpoint_dir, iteration, state["params"],
+                  state["opt_state"], hparams)
+            else:
+              path = orbax_store.save_sharded(
+                  save_checkpoint_dir, iteration, state["params"],
+                  state["opt_state"], hparams)
+            if process_index == 0:
+              logger.info("Saved checkpoint %s", path)
+          else:
+            # from_state gathers any non-addressable shards (a collective
+            # in multi-process runs) — every process must build it; only
+            # process 0 writes the file.
+            ckpt = CheckpointWaveglow.from_state(
+                state["params"], state["opt_state"], hparams, iteration)
+            if process_index == 0:
+              Path(save_checkpoint_dir).mkdir(parents=True, exist_ok=True)
+              path = Path(save_checkpoint_dir) / get_checkpoint_filename(
+                  iteration)
+              ckpt.save(path)
+              logger.info("Saved checkpoint %s", path)
+          val_loss = validate_model(eval_loss, state["params"], val_loader,
+                                    put)
+          logger.info("Validation loss %d: %9f", iteration, val_loss)
+          metrics.log(event="validation", iteration=iteration, loss=val_loss)
+
+        if max_iterations is not None and iteration >= max_iterations:
+          stop = True
+          break
+  finally:
+    if async_saver is not None:
+      # flush the in-flight write so the last checkpoint is complete on
+      # disk when train() returns (or when an exception propagates)
+      async_saver.close()
 
   logger.info("Finished training. Total duration: %.2fm",
               (time.time() - complete_start) / 60)
