@@ -238,3 +238,38 @@ class TestNonFiniteGuard:
     recs = [json.loads(l) for l in
             (tmp_path / "logs" / "metrics.jsonl").read_text().splitlines()]
     assert any(r["event"] == "non_finite_loss" for r in recs)
+
+
+class TestTensorBoard:
+
+  def test_event_scalars_match_jsonl(self, tmp_path):
+    """--tensorboard-dir writes real event files (the reference's
+    tensorboard logger is a stubbed no-op, reference logger.py:13-21);
+    scalar curves must agree with the canonical JSONL metrics."""
+    data_dir = tmp_path / "data"
+    write_noise_dataset(data_dir, n=4, seconds=0.4)
+    entries = load_dataset(data_dir)
+
+    tb_dir = tmp_path / "tb"
+    train(parse_custom_hparams(TINY_HPARAMS), tmp_path / "logs",
+          entries, entries, tmp_path / "ckpts",
+          max_iterations=2, tensorboard_dir=tb_dir)
+
+    from tensorboard.backend.event_processing.event_accumulator import \
+        EventAccumulator
+    acc = EventAccumulator(str(tb_dir))
+    acc.Reload()
+    tags = set(acc.Tags()["scalars"])
+    assert {"train/loss", "train/duration_s", "validation/loss"} <= tags
+
+    recs = [json.loads(l) for l in
+            (tmp_path / "logs" / "metrics.jsonl").read_text().splitlines()]
+    jsonl_train = {r["iteration"]: r["loss"] for r in recs
+                   if r["event"] == "train_step"}
+    events = {e.step: e.value for e in acc.Scalars("train/loss")}
+    assert set(events) == set(jsonl_train) == {1, 2}
+    for step, value in events.items():
+      assert value == pytest.approx(jsonl_train[step], rel=1e-6)
+    # the first-iteration checkpoint save triggers one validation event
+    val = acc.Scalars("validation/loss")
+    assert len(val) == 1 and val[0].step == 1 and np.isfinite(val[0].value)

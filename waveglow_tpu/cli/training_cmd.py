@@ -46,6 +46,7 @@ def init_training_parser(parser: ArgumentParser):
                       help="if CHECKPOINTS-FOLDER already holds checkpoints, "
                            "continue from the latest instead of failing — "
                            "makes the same command preemption-safe to re-run")
+  _add_tensorboard_arg(parser)
   _add_profile_arg(parser)
   _add_multihost_args(parser)
   return train_ns
@@ -64,9 +65,19 @@ def init_continue_training_parser(parser: ArgumentParser):
   add_compute_arguments(parser)
   parser.add_argument("--tl-dir", type=parse_path, metavar="LOG-DIR",
                       default=default_log)
+  _add_tensorboard_arg(parser)
   _add_profile_arg(parser)
   _add_multihost_args(parser)
   return continue_train_ns
+
+
+def _add_tensorboard_arg(parser: ArgumentParser) -> None:
+  parser.add_argument("--tensorboard-dir", type=get_optional(parse_path),
+                      metavar="EVENT-DIR", default=None,
+                      help="write TensorBoard scalar events (train loss, "
+                           "step duration, validation loss) into this "
+                           "folder — the working version of the "
+                           "reference's stubbed tensorboard logger")
 
 
 def _add_profile_arg(parser: ArgumentParser) -> None:
@@ -133,7 +144,7 @@ def train_ns(ns: Namespace) -> bool:
     train(custom_hparams=_custom_hparams(ns), logdir=ns.tl_dir,
           trainset=trainset, valset=valset,
           save_checkpoint_dir=ns.checkpoints_dir, checkpoint=checkpoint,
-          warm_model=warm_model)
+          warm_model=warm_model, tensorboard_dir=ns.tensorboard_dir)
   return True
 
 
@@ -156,5 +167,5 @@ def continue_train_ns(ns: Namespace) -> bool:
     train(custom_hparams=_custom_hparams(ns), logdir=ns.tl_dir,
           trainset=trainset, valset=valset,
           save_checkpoint_dir=ns.checkpoints_dir, checkpoint=checkpoint,
-          warm_model=None)
+          warm_model=None, tensorboard_dir=ns.tensorboard_dir)
   return True

@@ -114,11 +114,14 @@ def train(custom_hparams: Optional[Dict[str, str]], logdir: Optional[Path],
           trainset: Entries, valset: Entries, save_checkpoint_dir: Path,
           checkpoint: Optional[CheckpointWaveglow] = None,
           warm_model: Optional[CheckpointWaveglow] = None,
-          max_iterations: Optional[int] = None) -> Dict:
+          max_iterations: Optional[int] = None,
+          tensorboard_dir: Optional[Path] = None) -> Dict:
   """Train (or continue training) a WaveGlow model.
 
   ``max_iterations`` bounds this invocation (useful for tests/smoke runs);
   ``None`` trains to ``hparams.epochs`` like the reference.
+  ``tensorboard_dir`` additionally writes TensorBoard scalar events there
+  (the working version of the reference's stubbed logger.py:13-21).
   Returns the final train state (host pytrees).
   """
   complete_start = time.time()
@@ -138,6 +141,9 @@ def train(custom_hparams: Optional[Dict[str, str]], logdir: Optional[Path],
   process_count = jax.process_count()
   # one metrics writer per run, not per host
   metrics = MetricsLogger(logdir if process_index == 0 else None)
+  from waveglow_tpu.training.tboard import make_tensorboard_logger
+  tboard = make_tensorboard_logger(
+      tensorboard_dir if process_index == 0 else None)
 
   # --- model + optimizer state -------------------------------------------
   if checkpoint is not None:
@@ -269,6 +275,8 @@ def train(custom_hparams: Optional[Dict[str, str]], logdir: Optional[Path],
             float(np.mean(durations)), (now - train_start) / 3600)
         metrics.log(event="train_step", iteration=iteration, epoch=epoch,
                     loss=loss, duration_s=durations[-1])
+        if tboard is not None:
+          tboard.log_training(iteration, loss, durations[-1])
 
         if check_save_it(epoch, iteration, save_settings):
           if hparams.checkpoint_backend == "orbax":
@@ -306,6 +314,8 @@ def train(custom_hparams: Optional[Dict[str, str]], logdir: Optional[Path],
                                     put)
           logger.info("Validation loss %d: %9f", iteration, val_loss)
           metrics.log(event="validation", iteration=iteration, loss=val_loss)
+          if tboard is not None:
+            tboard.log_validation(iteration, val_loss)
 
         if max_iterations is not None and iteration >= max_iterations:
           stop = True
@@ -315,6 +325,8 @@ def train(custom_hparams: Optional[Dict[str, str]], logdir: Optional[Path],
       # flush the in-flight write so the last checkpoint is complete on
       # disk when train() returns (or when an exception propagates)
       async_saver.close()
+    if tboard is not None:
+      tboard.close()
 
   logger.info("Finished training. Total duration: %.2fm",
               (time.time() - complete_start) / 60)
