@@ -123,16 +123,21 @@ def main():
         "step_seconds": round(elapsed / args.iters, 4),
     }
 
-  base = points[str(usable[0])]["samples_per_sec"] / usable[0]
+  # per-device rate of the SMALLEST measured mesh is the normalization base;
+  # name the key honestly when that base is not a single device
+  base_n = usable[0]
+  base = points[str(base_n)]["samples_per_sec"] / base_n
+  eff_key = ("efficiency_vs_1dev" if base_n == 1
+             else f"efficiency_vs_{base_n}dev")
   for n in usable:
     pt = points[str(n)]
-    pt["efficiency_vs_1dev"] = round(
-        pt["samples_per_sec"] / (base * n), 4)
+    pt[eff_key] = round(pt["samples_per_sec"] / (base * n), 4)
 
   largest = str(max(usable))
-  value = points[largest]["efficiency_vs_1dev"]
+  value = points[largest][eff_key]
   result = {
       "metric": "training_scaling_efficiency",
+      "efficiency_base_devices": base_n,
       "value": value,
       "unit": "ratio",
       "vs_baseline": round(value / 0.85, 3),

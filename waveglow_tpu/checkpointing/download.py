@@ -44,7 +44,10 @@ def parse_gdrive_interstitial(html: str) -> Optional[Tuple[str, dict]]:
   form = re.search(r'<form[^>]+action="([^"]+)"[^>]*>(.*?)</form>', html,
                    re.DOTALL)
   if form:
-    action, body = form.group(1), form.group(2)
+    # The action may be HTML-escaped, relative, and/or already carry a
+    # query string; normalize all three so the caller can append fields.
+    action = form.group(1).replace("&amp;", "&")
+    body = form.group(2)
     fields = dict(re.findall(
         r'<input[^>]+name="([^"]+)"[^>]+value="([^"]*)"', body))
     if fields:
@@ -85,8 +88,11 @@ def _download_gdrive(url: str, destination: Path) -> None:
           "file may be removed or quota-limited; try again later or fetch "
           "v2/v3/v5 from NGC instead.")
     confirmed, fields = parsed
+    # absolutize a relative form action against the page we fetched
+    confirmed = urllib.parse.urljoin(url, confirmed)
     if fields:
-      confirmed = confirmed + "?" + urllib.parse.urlencode(fields)
+      sep = "&" if "?" in confirmed else "?"
+      confirmed = confirmed + sep + urllib.parse.urlencode(fields)
 
   with opener.open(confirmed) as response, open(destination, "wb") as out:
     if "text/html" in response.headers.get("Content-Type", ""):

@@ -28,6 +28,14 @@ def parse_existing_directory(value: str) -> Path:
   return path
 
 
+def parse_existing_path(value: str) -> Path:
+  """A file OR a directory (orbax checkpoints are directories)."""
+  path = parse_path(value)
+  if not path.exists():
+    raise argparse.ArgumentTypeError(f"path does not exist: {value!r}")
+  return path
+
+
 def parse_non_empty(value: str) -> str:
   if not value:
     raise argparse.ArgumentTypeError("value must not be empty")

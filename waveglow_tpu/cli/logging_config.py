@@ -68,47 +68,67 @@ def try_init_file_logger(log_path: Optional[Path],
   return file_logger
 
 
+_stem_loggers: dict = {}
+
+
 def init_file_stem_loggers(stems) -> "OrderedDict[str, Queue]":
   """Per-file-stem queue loggers for batch jobs (reference
   logging_configuration.py:90-101).
 
-  Each stem gets a non-propagating logger whose records are buffered in a
-  queue instead of interleaving in the shared file log; flush with
+  Each stem gets a logger whose records are buffered in a queue instead of
+  interleaving in the shared file log; flush with
   :func:`flush_file_stem_loggers` to write them GROUPED per input file.
+  The loggers are constructed directly (not via ``logging.getLogger``) so a
+  100k-file batch job does not permanently grow the process-global
+  ``logging.Logger.manager.loggerDict``; they live in a per-run registry
+  cleared at flush.
   """
   from collections import OrderedDict
   from logging.handlers import QueueHandler
   from queue import Queue
 
+  _stem_loggers.clear()
   queues: "OrderedDict[str, Queue]" = OrderedDict()
   for stem in stems:
-    stem_logger = logging.getLogger(f"file-stem.{stem}")
-    stem_logger.propagate = False
-    stem_logger.setLevel(logging.DEBUG)
-    stem_logger.handlers.clear()
+    stem_logger = logging.Logger(f"file-stem.{stem}", level=logging.DEBUG)
     q: Queue = Queue(-1)
     stem_logger.addHandler(QueueHandler(q))
+    _stem_loggers[stem] = stem_logger
     queues[stem] = q
   return queues
 
 
 def get_file_stem_logger(stem: str) -> logging.Logger:
   """The queue-backed logger created by :func:`init_file_stem_loggers`."""
-  return logging.getLogger(f"file-stem.{stem}")
+  return _stem_loggers[stem]
 
 
 def flush_file_stem_loggers(queues) -> None:
   """Write every stem's buffered records to the file logger, grouped per
-  file (reference logging_configuration.py:117-124)."""
+  file (reference logging_configuration.py:117-124).
+
+  The grouped copies exist only for the ``--log`` file; if no file logger is
+  configured (``--log`` omitted or the file failed to open), the buffered
+  records are discarded instead of propagating to the root console handler,
+  which would re-print every per-file line already logged live.
+  """
   flogger = logging.getLogger("file-logger")
-  for stem, q in queues.items():
-    flogger.info("Log messages for file: %s", stem)
-    while not q.empty():
-      flogger.handle(q.get_nowait())
+  if flogger.handlers:
+    for stem, q in queues.items():
+      flogger.info("Log messages for file: %s", stem)
+      while not q.empty():
+        flogger.handle(q.get_nowait())
+  else:
+    for q in queues.values():
+      while not q.empty():
+        q.get_nowait()
+  _stem_loggers.clear()
 
 
 def log_platform_banner(version: str) -> None:
   logger = logging.getLogger("file-logger")
+  if not logger.handlers:  # no --log file: don't propagate to the console
+    return
   logger.info("waveglow-tpu version: %s", version)
   logger.info("python version: %s", sys.version.replace("\n", " "))
   logger.info("platform: %s", platform.platform())

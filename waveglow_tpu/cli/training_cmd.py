@@ -11,7 +11,7 @@ from waveglow_tpu.cli.argparse_helpers import (add_compute_arguments,
                                                add_hparams_argument,
                                                get_optional,
                                                parse_existing_directory,
-                                               parse_existing_file,
+                                               parse_existing_path,
                                                parse_path)
 from waveglow_tpu.hparams import parse_custom_hparams
 
@@ -34,7 +34,7 @@ def init_training_parser(parser: ArgumentParser):
   add_hparams_argument(parser)
   add_compute_arguments(parser)
   parser.add_argument("--pre-trained-model", metavar="PRE-TRAINED-MODEL",
-                      type=get_optional(parse_existing_file), default=None,
+                      type=get_optional(parse_existing_path), default=None,
                       help="path to checkpoint used for warm start "
                            "(native .npz or torch .pt)")
   parser.add_argument("--warm-start", action="store_true",

@@ -135,6 +135,10 @@ def train(custom_hparams: Optional[Dict[str, str]], logdir: Optional[Path],
     raise ValueError(
         f"unknown checkpoint_backend {hparams.checkpoint_backend!r} "
         "(expected 'npz' or 'orbax')")
+  if hparams.checkpoint_async and hparams.checkpoint_backend != "orbax":
+    raise ValueError(
+        "checkpoint_async=true requires checkpoint_backend=orbax (the npz "
+        "backend writes synchronously)")
   config = WaveGlowConfig.from_hparams(hparams)
 
   process_index = jax.process_index()
