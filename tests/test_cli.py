@@ -228,3 +228,52 @@ class TestDebugMarker:
     # no wavs -> command fails cleanly, but the file logger is DEBUG-level
     assert rc == 1
     assert logging.getLogger("file-logger").level == logging.DEBUG
+
+
+class TestStemLoggerGuards:
+
+  def test_flush_without_file_logger_does_not_hit_console(self):
+    """Without a configured --log file, flushing the per-file queues must
+    NOT propagate the buffered records to the root console handler (that
+    would re-print every per-file line already logged live)."""
+    import logging
+
+    from waveglow_tpu.cli.logging_config import (flush_file_stem_loggers,
+                                                 get_file_stem_logger,
+                                                 init_file_stem_loggers)
+
+    flogger = logging.getLogger("file-logger")
+    saved_handlers, saved_prop = list(flogger.handlers), flogger.propagate
+    flogger.handlers.clear()
+    flogger.propagate = True  # the never-configured default
+
+    root = logging.getLogger()
+    records = []
+
+    class Capture(logging.Handler):
+      def emit(self, record):
+        records.append(record)
+
+    cap = Capture()
+    root.addHandler(cap)
+    try:
+      queues = init_file_stem_loggers(["x.wav"])
+      get_file_stem_logger("x.wav").info("buffered line")
+      flush_file_stem_loggers(queues)
+      assert records == []
+      assert all(q.empty() for q in queues.values())
+    finally:
+      root.removeHandler(cap)
+      flogger.handlers[:] = saved_handlers
+      flogger.propagate = saved_prop
+
+  def test_stem_loggers_do_not_grow_global_registry(self):
+    """Batch jobs must not intern one logger per input file forever in
+    logging.Logger.manager.loggerDict."""
+    import logging
+
+    from waveglow_tpu.cli.logging_config import init_file_stem_loggers
+
+    before = len(logging.Logger.manager.loggerDict)
+    init_file_stem_loggers([f"f{i}.wav" for i in range(500)])
+    assert len(logging.Logger.manager.loggerDict) == before

@@ -221,3 +221,33 @@ class TestDownloadCommand:
       assert dest.read_bytes() == payload
     finally:
       httpd.shutdown()
+
+  def test_gdrive_relative_escaped_action_with_query(self, tmp_path):
+    """A relative, HTML-escaped form action that already carries a query
+    string must be absolutized against the interstitial URL and have its
+    hidden fields appended with '&' (a blind '?' would make Drive drop the
+    confirm token)."""
+    from waveglow_tpu.checkpointing import download as dl_mod
+    from waveglow_tpu.checkpointing.download import parse_gdrive_interstitial
+
+    html = """
+      <html><body><form id="download-form"
+        action="/payload.pt?export=download&amp;id=XYZ" method="get">
+        <input type="hidden" name="confirm" value="t"/>
+      </form></body></html>"""
+    action, fields = parse_gdrive_interstitial(html)
+    assert action == "/payload.pt?export=download&id=XYZ"
+    assert fields == {"confirm": "t"}
+
+    serve_dir = tmp_path / "srv"
+    serve_dir.mkdir()
+    payload = b"PAYLOAD-BYTES" * 50
+    (serve_dir / "payload.pt").write_bytes(payload)
+    httpd, port = self._serve(serve_dir)
+    try:
+      (serve_dir / "inter.html").write_text(html)
+      dest = tmp_path / "v1.pt"
+      dl_mod._download_gdrive(f"http://127.0.0.1:{port}/inter.html", dest)
+      assert dest.read_bytes() == payload
+    finally:
+      httpd.shutdown()

@@ -273,3 +273,18 @@ class TestTensorBoard:
     # the first-iteration checkpoint save triggers one validation event
     val = acc.Scalars("validation/loss")
     assert len(val) == 1 and val[0].step == 1 and np.isfinite(val[0].value)
+
+
+class TestConfigValidation:
+
+  def test_async_requires_orbax_backend(self, tmp_path):
+    """checkpoint_async=true with the synchronous npz backend must fail
+    loudly instead of silently blocking every save."""
+    data_dir = tmp_path / "data"
+    write_noise_dataset(data_dir, n=2, seconds=0.4)
+    entries = load_dataset(data_dir)
+    custom = dict(parse_custom_hparams(TINY_HPARAMS))
+    custom["checkpoint_async"] = "true"  # backend stays the npz default
+    with pytest.raises(ValueError, match="checkpoint_async"):
+      train(custom, None, entries, entries, tmp_path / "ckpts",
+            max_iterations=1)
