@@ -106,3 +106,63 @@ class TestMeshTraining:
     state = train(custom, tmp_path / "logs", entries, entries,
                   tmp_path / "ckpts", max_iterations=2)
     assert int(state["step"]) == 2
+
+
+class TestInferMany:
+  """Variable-length bucketed batch serving."""
+
+  def test_same_length_matches_infer_batch(self):
+    """Equal-length mels form one bucket whose program and noise draw are
+    identical to infer_batch at the padded shape — outputs match exactly."""
+    ckpt = tiny_checkpoint()
+    synth = BatchSynthesizer(ckpt)
+    mels = rand_mels(3, 16, seed=4)
+
+    import jax as _jax
+    key = _jax.random.fold_in(_jax.random.PRNGKey(7), 16)
+    ref = np.asarray(synth._infer(synth.params, synth._put_batch(mels),
+                                  np.float32(1.0), key))
+    outs = synth.infer_many(list(mels), seed=7, bucket_frames=16)
+    assert len(outs) == 3
+    for row, out in enumerate(outs):
+      np.testing.assert_array_equal(out, ref[row])
+
+  def test_variable_lengths_trim_and_order(self):
+    ckpt = tiny_checkpoint()
+    synth = BatchSynthesizer(ckpt)
+    lengths = [10, 33, 10, 64, 17]
+    mels = [rand_mels(1, f, seed=f)[0] for f in lengths]
+    outs = synth.infer_many(mels, seed=0, bucket_frames=16)
+    assert [len(o) for o in outs] == [f * 256 for f in lengths]
+    assert all(np.isfinite(o).all() for o in outs)
+    # same-bucket same-content utterances (both 10 -> padded 16) get the
+    # same bucket noise rows only if they differ by row; identical mels in
+    # the SAME batched call at different rows draw different noise, so just
+    # assert determinism across calls:
+    outs2 = synth.infer_many(mels, seed=0, bucket_frames=16)
+    for a, b in zip(outs, outs2):
+      np.testing.assert_array_equal(a, b)
+
+  def test_max_batch_splits_bucket(self):
+    ckpt = tiny_checkpoint()
+    synth = BatchSynthesizer(ckpt)
+    mels = [rand_mels(1, 12, seed=i)[0] for i in range(5)]
+    outs = synth.infer_many(mels, seed=1, bucket_frames=4, max_batch=2)
+    assert [len(o) for o in outs] == [12 * 256] * 5
+
+  def test_mesh_row_padding(self):
+    """3 utterances on a 4-way data mesh: the bucket batch is padded to 4
+    rows and the repeat dropped."""
+    ckpt = tiny_checkpoint()
+    mesh = mesh_lib.make_mesh(data=4, model=1)
+    sharded = BatchSynthesizer(ckpt, mesh=mesh)
+    mels = [rand_mels(1, 12, seed=i)[0] for i in range(3)]
+    outs = sharded.infer_many(mels, seed=2, bucket_frames=4)
+    assert [len(o) for o in outs] == [12 * 256] * 3
+    assert all(np.isfinite(o).all() for o in outs)
+
+  def test_empty_mel_rejected(self):
+    ckpt = tiny_checkpoint()
+    synth = BatchSynthesizer(ckpt)
+    with pytest.raises(ValueError, match="no frames"):
+      synth.infer_many([np.zeros((80, 0), np.float32)])

@@ -30,8 +30,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from waveglow_tpu.checkpointing.store import CheckpointWaveglow
 from waveglow_tpu.hparams import overwrite_custom_hparams
-from waveglow_tpu.models.waveglow import (WaveGlowConfig, fuse_for_inference,
-                                          infer)
+from waveglow_tpu.models.waveglow import (UPSAMPLE_STRIDE, WaveGlowConfig,
+                                          fuse_for_inference, infer)
 from waveglow_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS, TIME_AXIS
 
 logger = logging.getLogger(__name__)
@@ -90,6 +90,74 @@ class BatchSynthesizer:
     wav = self._infer(self.params, mels, jnp.float32(sigma),
                       jax.random.PRNGKey(seed))
     return np.asarray(wav)
+
+  def infer_many(self, mels: Sequence[np.ndarray], *, sigma: float = 1.0,
+                 seed: int = 0, bucket_frames: int = 64,
+                 max_batch: Optional[int] = None) -> List[np.ndarray]:
+    """Variable-length batch serving: [n_mels, frames_i] each -> [T_i] each.
+
+    A production queue hands the server mels of many different lengths;
+    synthesizing them one-by-one wastes MXU batch parallelism and compiling
+    one program per distinct length wastes minutes of XLA compile time. This
+    groups utterances into LENGTH BUCKETS (frame count rounded up to a
+    multiple of ``bucket_frames``), pads each mel to its bucket with the
+    log-clamp silence floor (log(1e-5), the value trailing silence produces
+    through the mel pipeline — dsp/mel.py CLIP_VAL), synthesizes each bucket
+    as one batched call, and trims every waveform to its utterance's true
+    sample count. Compile count is bounded by the number of distinct
+    (bucket length, batch size) pairs, not utterance lengths; ``max_batch``
+    splits oversized buckets.
+
+    Padding semantics: the conv-transpose upsample cannot leak pad frames
+    into kept samples (pad frame f >= F_true contributes only to audio
+    positions t >= f*hop, all trimmed), but the WN stack's dilated convs are
+    'same'-padded in time, so the trailing ~receptive-field samples
+    (2*(2^n_layers - 1)*n_group per flow) see silence-pad conditioning
+    instead of the implicit zero pad of a solo call — the same boundary
+    class of difference as any batched-padding server. Outputs are
+    deterministic for a fixed (seed, bucket shape).
+
+    With a data mesh, bucket batches are padded (by repeating the last row)
+    to a multiple of the data-axis size, and the repeats are dropped.
+    """
+    hop = UPSAMPLE_STRIDE  # audio samples per mel frame
+    if bucket_frames < 1:
+      raise ValueError("bucket_frames must be >= 1")
+    floor = float(np.log(1e-5))  # dsp/mel.py dynamic_range_compression floor
+
+    buckets: Dict[int, List[int]] = {}
+    frames = []
+    for i, mel in enumerate(mels):
+      f = int(np.shape(mel)[-1])
+      if f < 1:
+        raise ValueError(f"mel {i} has no frames")
+      frames.append(f)
+      padded = -(-f // bucket_frames) * bucket_frames
+      buckets.setdefault(padded, []).append(i)
+
+    data_n = (self.mesh.shape[DATA_AXIS]
+              if self.mesh is not None and DATA_AXIS in self.mesh.axis_names
+              else 1)
+    out: List[Optional[np.ndarray]] = [None] * len(frames)
+    for padded_f in sorted(buckets):
+      idxs = buckets[padded_f]
+      step = max_batch if max_batch is not None else len(idxs)
+      for s in range(0, len(idxs), step):
+        group = idxs[s:s + step]
+        batch = np.full((len(group), np.shape(mels[group[0]])[0], padded_f),
+                        floor, dtype=np.float32)
+        for row, i in enumerate(group):
+          batch[row, :, :frames[i]] = mels[i]
+        pad_rows = (-len(group)) % data_n
+        if pad_rows:
+          batch = np.concatenate(
+              [batch, np.repeat(batch[-1:], pad_rows, axis=0)], axis=0)
+        key = jax.random.fold_in(jax.random.PRNGKey(seed), padded_f)
+        wav = np.asarray(self._infer(self.params, self._put_batch(batch),
+                                     jnp.float32(sigma), key))
+        for row, i in enumerate(group):
+          out[i] = wav[row, :frames[i] * hop]
+    return out  # type: ignore[return-value]
 
   def infer_chunked(self, mel: np.ndarray, *, sigma: float = 1.0,
                     seed: int = 0, chunk_frames: int = 1024) -> np.ndarray:
