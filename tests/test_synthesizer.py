@@ -140,3 +140,10 @@ class TestSynthesizerStreaming:
     whole = synth.infer(mel, seed=2, denoiser_strength=0.0,
                         chunk_frames=8).wav
     np.testing.assert_array_equal(np.concatenate(pieces), whole)
+
+
+def test_wrong_mel_bins_rejected(synth):
+  with pytest.raises(ValueError, match="expected mel of shape"):
+    synth.infer(np.zeros((79, 20), np.float32))
+  with pytest.raises(ValueError, match="expected mel of shape"):
+    synth.infer(np.zeros((2, 80, 20, 1), np.float32))

@@ -111,6 +111,11 @@ class Synthesizer:
     mel = jnp.asarray(mel, dtype=jnp.float32)
     if mel.ndim == 2:
       mel = mel[None]
+    if mel.ndim != 3 or mel.shape[1] != self.config.n_mel_channels:
+      raise ValueError(
+          f"expected mel of shape [{self.config.n_mel_channels}, frames] "
+          f"(or [1, {self.config.n_mel_channels}, frames]), got "
+          f"{tuple(np.shape(mel))}")
 
     sigma_arr = jnp.float32(sigma)
     start = time.perf_counter()
