@@ -288,3 +288,45 @@ class TestConfigValidation:
     with pytest.raises(ValueError, match="checkpoint_async"):
       train(custom, None, entries, entries, tmp_path / "ckpts",
             max_iterations=1)
+
+
+class TestBatchLoaderRobustness:
+
+  def _dataset(self, tmp_path, n=6):
+    data_dir = tmp_path / "data"
+    write_noise_dataset(data_dir, n=n, seconds=0.4)
+    hp = overwrite_custom_hparams(HParams(), parse_custom_hparams(TINY_HPARAMS))
+    return SegmentDataset(load_dataset(data_dir), hp)
+
+  def test_producer_exception_propagates(self, tmp_path):
+    """A decode failure mid-epoch must raise, not silently end the epoch."""
+    ds = self._dataset(tmp_path)
+    boom = RuntimeError("corrupt wav")
+    real_batch = ds.batch
+    calls = []
+
+    def failing_batch(indices, epoch):
+      calls.append(1)
+      if len(calls) >= 2:
+        raise boom
+      return real_batch(indices, epoch)
+
+    ds.batch = failing_batch
+    loader = BatchLoader(ds, batch_size=2, prefetch=1)
+    with pytest.raises(RuntimeError, match="corrupt wav"):
+      for _ in loader.epoch(0):
+        pass
+
+  def test_early_abandon_joins_producer_thread(self, tmp_path):
+    """Breaking out mid-epoch (the max_iterations stop path) must not leak
+    a producer thread blocked on a full prefetch queue."""
+    import threading
+
+    ds = self._dataset(tmp_path)
+    loader = BatchLoader(ds, batch_size=1, prefetch=1)
+    before = threading.active_count()
+    for _ in range(3):
+      it = loader.epoch(0)
+      next(it)
+      it.close()  # what an abandoned for-loop break does
+    assert threading.active_count() <= before

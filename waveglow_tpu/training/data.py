@@ -182,22 +182,49 @@ class BatchLoader:
       yield self.dataset.batch(range(lo, hi), epoch)
 
   def epoch(self, epoch: int, start_batch: int = 0) -> Iterator[np.ndarray]:
-    """Background-prefetched batch iterator for one epoch."""
+    """Background-prefetched batch iterator for one epoch.
+
+    A producer-side exception (e.g. a corrupt wav decoded mid-epoch) is
+    re-raised in the consumer instead of silently truncating the epoch, and
+    abandoning the iterator early (the train loop's ``max_iterations`` stop
+    breaks out mid-epoch) unblocks and joins the producer thread instead of
+    leaking it on a full queue.
+    """
     q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
     sentinel = object()
+    stop = threading.Event()
+    error: List[BaseException] = []
+
+    def _put(item) -> bool:
+      """Bounded put that aborts when the consumer is gone."""
+      while not stop.is_set():
+        try:
+          q.put(item, timeout=0.1)
+          return True
+        except queue.Full:
+          continue
+      return False
 
     def producer():
       try:
         for batch in self._batches(epoch, start_batch):
-          q.put(batch)
+          if not _put(batch):
+            return
+      except BaseException as e:  # noqa: BLE001 - re-raised in the consumer
+        error.append(e)
       finally:
-        q.put(sentinel)
+        _put(sentinel)
 
     thread = threading.Thread(target=producer, daemon=True)
     thread.start()
-    while True:
-      item = q.get()
-      if item is sentinel:
-        break
-      yield item
-    thread.join()
+    try:
+      while True:
+        item = q.get()
+        if item is sentinel:
+          break
+        yield item
+      if error:
+        raise error[0]
+    finally:
+      stop.set()
+      thread.join()
