@@ -27,8 +27,10 @@ from pathlib import Path
 import numpy as np
 import pytest
 
+from reference_oracle import FIXTURE_WAV as _FIXTURE_WAV_STR
+
 REPO_ROOT = Path(__file__).resolve().parent.parent
-FIXTURE_WAV = Path("/root/reference/res/audio.wav")
+FIXTURE_WAV = Path(_FIXTURE_WAV_STR)
 
 # BASELINE.md golden values (reference test_Synthesizer.py:40-58)
 GOLDEN_WAV_FIRST10 = np.array([

@@ -24,11 +24,10 @@ from waveglow_tpu.models.waveglow import (WaveGlowConfig, forward,
                                           fuse_for_inference, infer)
 from waveglow_tpu.training.loss import waveglow_loss
 
-from reference_oracle import import_reference, tiny_ref_hparams, torch_infer_noise
+from reference_oracle import (FIXTURE_WAV, import_reference, tiny_ref_hparams,
+                              torch_infer_noise)
 
 ref = import_reference()
-
-FIXTURE_WAV = "/root/reference/res/audio.wav"
 
 
 def fixture_audio(n: int = None, offset: int = 0) -> np.ndarray:
@@ -55,6 +54,26 @@ def make_pair(seed=0, **hp_overrides):
   params = state_dict_to_params(model.state_dict(), hp)
   config = WaveGlowConfig.from_hparams(hp)
   return model, params, config, hp
+
+
+def randomize_end_convs(model, seed: int, std: float = 0.01,
+                        log_s_bias: float = 0.3):
+  """Give a fresh reference model non-trivial couplings.
+
+  The reference zero-initializes every WN ``end`` conv (model.py:88-92), so
+  couplings start as the identity and an infer-parity test on a fresh model
+  never exercises the WN conditioning in the inference direction. This
+  randomizes them like a trained model: small weights plus a positive log_s
+  bias (second channel half, reference model.py:253) so the inverse pass is
+  contractive the way a converged vocoder's is.
+  """
+  torch.manual_seed(seed)
+  for wnet in model.WN:
+    wnet.end.weight.data.normal_(0, std)
+    wnet.end.bias.data.normal_(0, 0.02)
+    half = wnet.end.bias.shape[0] // 2
+    wnet.end.bias.data[half:] += log_s_bias
+  return model
 
 
 def rand_mel_audio(frames=6, batch=1, seed=0, n_mels=80):
@@ -174,6 +193,10 @@ class TestInferParity:
   @pytest.mark.parametrize("sigma", [1.0, 0.666])
   def test_infer_with_bit_identical_noise(self, sigma):
     model, params, config, hp = make_pair(seed=1)
+    # non-trivial couplings — a fresh model's zero end convs would make the
+    # WN conditioning invisible to this test (see randomize_end_convs)
+    randomize_end_convs(model, seed=11)
+    params = state_dict_to_params(model.state_dict(), hp)
     remove_wn = ref.model.WaveGlow.remove_weightnorm(model)
     mel, _ = rand_mel_audio(frames=7, seed=1)
 
@@ -189,11 +212,74 @@ class TestInferParity:
     assert my_wav.shape == ref_wav.shape
     np.testing.assert_allclose(my_wav, ref_wav, atol=1e-4)
 
+  @pytest.mark.slow
+  def test_full_size_full_fixture_end_to_end(self):
+    """Golden-oracle surrogate: full 12-flow / 256-channel model over the
+    ENTIRE res/audio.wav mel (826 frames, 211,357 samples), each pipeline
+    computing its OWN mel from the file — torch CPU reference vs native
+    float32, bit-identical injected noise, ``wav`` AND ``wav_denoised``
+    (strength 0.0005) at the driver's atol 1e-3 end-to-end bar.
+
+    This exercises the exact tensor shapes, conv-transpose upsample trim
+    (reference model.py:226-228), early-output schedule, and denoiser flow
+    the published LJS-v3-580000 checkpoint would (reference
+    test_Synthesizer.py:15-60) — everything but NVIDIA's trained weights,
+    which are unreachable from this zero-egress environment
+    (docs/PARITY.md, golden oracle status)."""
+    from pathlib import Path
+
+    model, params, config, hp = make_pair(
+        seed=7, n_flows=12, n_early_every=4, n_early_size=2,
+        n_layers=8, n_channels=256)
+    # fresh models zero-init the end convs (couplings start as identity and
+    # the denoiser bias would be exactly zero) — make them non-trivial and
+    # inverse-contractive, like a trained model (see randomize_end_convs)
+    randomize_end_convs(model, seed=70)
+    params = state_dict_to_params(model.state_dict(), hp)
+    ref_fused = ref.model.WaveGlow.remove_weightnorm(model)
+
+    # --- reference pipeline: file -> mel -> infer -> denoise (torch) ---
+    tstft_hp = ref.taco_stft.TSTFTHParams()
+    taco = ref.taco_stft.TacotronSTFT(tstft_hp, device=torch.device("cpu"))
+    ref_mel = taco.get_mel_tensor_from_file(Path(FIXTURE_WAV))
+    frames = int(ref_mel.shape[-1])
+    assert frames == 826  # the whole 9.585 s fixture, not a snippet
+    torch.manual_seed(0)  # the reference draws its noise from the global RNG
+    with torch.no_grad():
+      ref_wav = ref_fused.infer(ref_mel[None], sigma=1.0).numpy()
+    ref_denoiser = ref.denoiser.Denoiser(ref_fused, tstft_hp, mode="zeros",
+                                         device=torch.device("cpu"))
+    with torch.no_grad():
+      ref_den = ref_denoiser(torch.from_numpy(ref_wav),
+                             strength=0.0005).numpy()[:, 0, :]
+
+    # --- native pipeline: file -> mel -> infer -> denoise (jax f32) ---
+    my_mel = np.asarray(MelSTFT(TSTFTHParams()).get_mel_from_file(FIXTURE_WAV))
+    assert my_mel.shape == tuple(ref_mel.shape)
+    n_groups = ((frames - 1) * 256 + 1024 - 768) // 8
+    noise = torch_infer_noise(config, 1, n_groups, seed=0)
+    fused = fuse_for_inference(params)
+    my_wav = np.asarray(infer(fused, config, jnp.asarray(my_mel)[None],
+                              sigma=1.0,
+                              noise=[jnp.asarray(n) for n in noise]))
+    my_denoiser = Denoiser(fused, config, TSTFTHParams(), mode="zeros")
+    my_den = np.asarray(my_denoiser(jnp.asarray(my_wav), strength=0.0005))
+
+    assert my_wav.shape == ref_wav.shape == (1, n_groups * 8)
+    # the couplings must actually transform (guard against the vacuous
+    # zero-end-conv identity case)
+    assert float(np.abs(my_denoiser.bias_spec).max()) > 0
+    np.testing.assert_allclose(my_wav, ref_wav, atol=1e-3)
+    assert my_den.shape == ref_den.shape
+    np.testing.assert_allclose(my_den, ref_den, atol=1e-3)
+
   def test_full_size_config_short_mel(self):
     """Full 12-flow / 256-channel architecture, short mel (CPU-feasible)."""
     model, params, config, hp = make_pair(
         seed=2, n_flows=12, n_early_every=4, n_early_size=2,
         n_layers=8, n_channels=256)
+    randomize_end_convs(model, seed=22)
+    params = state_dict_to_params(model.state_dict(), hp)
     model = ref.model.WaveGlow.remove_weightnorm(model)
     mel, _ = rand_mel_audio(frames=4, seed=2)
 
