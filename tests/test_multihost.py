@@ -91,7 +91,7 @@ TRAIN_WORKER = textwrap.dedent("""
     from jax.experimental import multihost_utils
 
     from waveglow_tpu.checkpointing import (get_last_checkpoint_any,
-                                            load_checkpoint_any)
+                                            load_checkpoint_lazy)
     from waveglow_tpu.hparams import parse_custom_hparams
     from waveglow_tpu.training.data import load_dataset
     from waveglow_tpu.training.loop import train
@@ -105,10 +105,42 @@ TRAIN_WORKER = textwrap.dedent("""
           max_iterations=2)
     multihost_utils.sync_global_devices("phase1-saved")
 
-    # phase 2: the real continue-train path from the saved checkpoint
+    # phase 2: the real continue-train path from the saved checkpoint —
+    # load_checkpoint_lazy is what the CLI uses: orbax checkpoints open by
+    # reference and train() restores them straight onto the mesh
     path, it = get_last_checkpoint_any(Path(ckpt_dir))
     assert it == 2, it
-    ckpt = load_checkpoint_any(path)
+    ckpt = load_checkpoint_lazy(path)
+
+    from waveglow_tpu.checkpointing import orbax_store
+    if isinstance(ckpt, orbax_store.OrbaxCheckpointRef):
+      # prove the resume is gather-free: the host-materializing restore must
+      # never run, and the sharded restore must place every leaf with a
+      # non-fully-replicated sharding where the template has one
+      def _forbidden(*a, **k):
+        raise AssertionError("restore_host called during sharded resume")
+      orbax_store.restore_host = _forbidden
+      real_restore_sharded = orbax_store.restore_sharded
+      def _checked(path_, template, optimizer):
+        params, opt_state, meta = real_restore_sharded(path_, template,
+                                                       optimizer)
+        t_leaves = jax.tree_util.tree_leaves(template)
+        p_leaves = jax.tree_util.tree_leaves(params)
+        assert len(t_leaves) == len(p_leaves)
+        n_sharded = 0
+        for t, p in zip(t_leaves, p_leaves):
+          assert p.sharding == t.sharding, (p.sharding, t.sharding)
+          if not p.sharding.is_fully_replicated:
+            # gather-free: no device ever holds the full leaf (the model
+            # axis lives inside a process here, so PER-PROCESS bytes can
+            # legitimately cover the leaf across two local devices)
+            biggest = max(s.data.nbytes for s in p.addressable_shards)
+            assert biggest < p.nbytes, (biggest, p.nbytes)
+            n_sharded += 1
+        assert n_sharded > 0, "TP run restored no actually-sharded leaf"
+        return params, opt_state, meta
+      orbax_store.restore_sharded = _checked
+
     state = train(hp, Path(logdir), trainset, valset, Path(ckpt_dir),
                   checkpoint=ckpt, max_iterations=4)
 

@@ -27,6 +27,19 @@ def load_checkpoint_any(path: Union[str, Path]) -> CheckpointWaveglow:
   return load_torch_checkpoint(path)
 
 
+def load_checkpoint_lazy(path: Union[str, Path]):
+  """Like :func:`load_checkpoint_any`, but orbax checkpoints open by
+  REFERENCE (metadata only — no tensor bytes): ``train()`` then restores the
+  leaves directly onto the training mesh via ``restore_sharded``, each
+  process reading only its own shards. Non-orbax formats load eagerly (they
+  are single-file formats; there is nothing shard-local to defer)."""
+  path = Path(path)
+  if path.is_dir():
+    from waveglow_tpu.checkpointing.orbax_store import load_checkpoint_ref
+    return load_checkpoint_ref(path)
+  return load_checkpoint_any(path)
+
+
 def get_all_iterations_any(checkpoints_dir: Union[str, Path]) -> List[int]:
   """All checkpoint iterations in a directory across both native backends
   (``<it>.npz`` files and ``<it>.orbax`` directories)."""

@@ -24,7 +24,7 @@ the discovery helpers in ``checkpointing/__init__`` see them uniformly.
 
 from __future__ import annotations
 
-from dataclasses import asdict
+from dataclasses import asdict, dataclass
 from pathlib import Path
 from typing import Any, Dict, List, Optional, Tuple, Union
 
@@ -148,6 +148,56 @@ def save_sharded(checkpoints_dir: Union[str, Path], iteration: int,
   return path
 
 
+def read_meta(path: Union[str, Path]) -> Dict:
+  """Read only the JSON metadata item — no tensor bytes are touched."""
+  import orbax.checkpoint as ocp
+
+  path = Path(path).resolve()
+  assert is_orbax_checkpoint(path), f"not an orbax checkpoint: {path}"
+  ckptr = _checkpointer()
+  try:
+    restored = ckptr.restore(path, args=ocp.args.Composite(
+        **{_META_ITEM: ocp.args.JsonRestore()}))
+  finally:
+    ckptr.close()
+  return restored[_META_ITEM]
+
+
+@dataclass
+class OrbaxCheckpointRef:
+  """A checkpoint by reference: metadata is loaded, tensors are NOT.
+
+  This is what lets ``train()`` resume at pod scale without ever
+  materializing the full model on a host — hparams/iteration come from the
+  JSON item here, and the tensor leaves are later placed straight onto the
+  training mesh via :func:`restore_sharded`, each process reading only the
+  shard bytes it owns (the reference's resume loads everything eagerly,
+  reference train.py:98-112 — fine single-host, quadratic waste on a pod).
+  """
+  path: Path
+  learning_rate: float
+  iteration: int
+  hparams: Dict
+
+  def get_hparams(self) -> HParams:
+    from waveglow_tpu.hparams import hparams_from_dict
+    hp, ignored = hparams_from_dict(self.hparams)
+    if ignored:
+      import logging
+      logging.getLogger(__name__).warning(
+          "Ignored checkpoint hparams unknown to this version: %s", ignored)
+    return hp
+
+
+def load_checkpoint_ref(path: Union[str, Path]) -> OrbaxCheckpointRef:
+  """Metadata-only open of an orbax checkpoint (see OrbaxCheckpointRef)."""
+  path = Path(path).resolve()
+  meta = read_meta(path)
+  return OrbaxCheckpointRef(path=path, learning_rate=meta["learning_rate"],
+                            iteration=meta["iteration"],
+                            hparams=meta["hparams"])
+
+
 def restore_host(path: Union[str, Path]) -> CheckpointWaveglow:
   """Restore into the reference-payload container (host/replicated arrays).
 
@@ -200,9 +250,24 @@ def restore_sharded(path: Union[str, Path], params_template: Dict,
   path = Path(path).resolve()
   assert is_orbax_checkpoint(path), f"not an orbax checkpoint: {path}"
 
+  from jax.sharding import NamedSharding, PartitionSpec
+
+  # the target mesh, from any sharded template leaf
+  mesh = None
+  for leaf in jax.tree_util.tree_leaves(params_template):
+    mesh = getattr(getattr(leaf, "sharding", None), "mesh", None)
+    if mesh is not None:
+      break
+
   def abstract(a):
-    return jax.ShapeDtypeStruct(a.shape, a.dtype,
-                                sharding=getattr(a, "sharding", None))
+    sharding = getattr(a, "sharding", None)
+    if mesh is not None and getattr(sharding, "mesh", None) != mesh:
+      # leaves born outside the mesh (e.g. adam's scalar step counter,
+      # created by optimizer.init as a fresh default-placement zero) must
+      # come back replicated ON the mesh, or the first train step sees
+      # mixed device sets
+      sharding = NamedSharding(mesh, PartitionSpec())
+    return jax.ShapeDtypeStruct(a.shape, a.dtype, sharding=sharding)
 
   # optax.adam's mu/nu are zeros_like copies of the params tree, so they
   # inherit the template shardings exactly; scalar counters come out

@@ -115,7 +115,8 @@ def train_ns(ns: Namespace) -> bool:
   _maybe_init_multihost(ns)
   from waveglow_tpu.checkpointing import (get_all_iterations_any,
                                           get_last_checkpoint_any,
-                                          load_checkpoint_any)
+                                          load_checkpoint_any,
+                                          load_checkpoint_lazy)
   from waveglow_tpu.training.data import load_dataset
   from waveglow_tpu.training.loop import train
 
@@ -124,11 +125,12 @@ def train_ns(ns: Namespace) -> bool:
       ns.checkpoints_dir):
     # preemption-safe restart: the SAME train command picks up where the
     # killed run left off (all hosts load the same file, so a multi-host
-    # job restarts coordinated at one step)
+    # job restarts coordinated at one step). Lazy: orbax checkpoints open
+    # by reference and restore straight onto the training mesh.
     last_path, last_it = get_last_checkpoint_any(ns.checkpoints_dir)
     logger.info("Auto-resume: continuing from iteration %d (%s)",
                 last_it, last_path)
-    checkpoint = load_checkpoint_any(last_path)
+    checkpoint = load_checkpoint_lazy(last_path)
 
   warm_model = None
   if ns.pre_trained_model is not None and ns.warm_start and checkpoint is None:
@@ -151,13 +153,13 @@ def train_ns(ns: Namespace) -> bool:
 def continue_train_ns(ns: Namespace) -> bool:
   _maybe_init_multihost(ns)
   from waveglow_tpu.checkpointing import (get_last_checkpoint_any,
-                                          load_checkpoint_any)
+                                          load_checkpoint_lazy)
   from waveglow_tpu.training.data import load_dataset
   from waveglow_tpu.training.loop import train
 
   last_path, last_it = get_last_checkpoint_any(ns.checkpoints_dir)
   logger.info("Continuing from iteration %d (%s)", last_it, last_path)
-  checkpoint = load_checkpoint_any(last_path)
+  checkpoint = load_checkpoint_lazy(last_path)
 
   trainset = load_dataset(ns.train_folder)
   valset = load_dataset(ns.val_folder)

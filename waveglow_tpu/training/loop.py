@@ -150,18 +150,6 @@ def train(custom_hparams: Optional[Dict[str, str]], logdir: Optional[Path],
       tensorboard_dir if process_index == 0 else None)
 
   # --- model + optimizer state -------------------------------------------
-  if checkpoint is not None:
-    params = checkpoint.state_dict
-    iteration = checkpoint.iteration
-  elif warm_model is not None:
-    logger.info("Warm-starting from pretrained model state...")
-    params = warm_start_params(init_params(config, seed=hparams.seed),
-                               warm_model.state_dict)
-    iteration = 0
-  else:
-    params = init_params(config, seed=hparams.seed)
-    iteration = 0
-
   optimizer = make_optimizer(hparams.learning_rate)
 
   use_mesh = hparams.mesh_data * hparams.mesh_model > 1 or process_count > 1
@@ -172,10 +160,6 @@ def train(custom_hparams: Optional[Dict[str, str]], logdir: Optional[Path],
       # multi-process runs need a global mesh covering every device
       mesh_data = len(jax.devices()) // mesh_model
     mesh = mesh_lib.make_mesh(mesh_data, mesh_model)
-    # Note: mesh runs compile twice — step 2 recompiles because the donated
-    # state returns with jit-chosen output shardings that differ from this
-    # explicit placement; from step 3 the program is steady-state.
-    params = shard_params(params, mesh)
     batch_sharding = NamedSharding(mesh, P(mesh_lib.DATA_AXIS))
 
     def put(b):
@@ -188,9 +172,44 @@ def train(custom_hparams: Optional[Dict[str, str]], logdir: Optional[Path],
   else:
     put = jax.numpy.asarray
 
-  opt_state = restore_opt_state(
-      checkpoint.optimizer if checkpoint is not None else None,
-      optimizer, params)
+  from waveglow_tpu.checkpointing.orbax_store import OrbaxCheckpointRef
+  if isinstance(checkpoint, OrbaxCheckpointRef) and mesh is None:
+    # no mesh to restore onto — resolve the reference through the eager path
+    from waveglow_tpu.checkpointing.orbax_store import restore_host
+    checkpoint = restore_host(checkpoint.path)
+
+  if isinstance(checkpoint, OrbaxCheckpointRef):
+    # Gather-free sharded resume: leaves land straight on the mesh with the
+    # training shardings, each process reading only the shard bytes it owns.
+    # No host ever materializes a fully-replicated model or Adam state.
+    from waveglow_tpu.checkpointing.orbax_store import restore_sharded
+    iteration = checkpoint.iteration
+    template = shard_params(init_params(config, seed=hparams.seed), mesh)
+    params, opt_state, _ = restore_sharded(checkpoint.path, template,
+                                           optimizer)
+    logger.info("Resumed iteration %d via sharded orbax restore (%s)",
+                iteration, checkpoint.path)
+  else:
+    if checkpoint is not None:
+      params = checkpoint.state_dict
+      iteration = checkpoint.iteration
+    elif warm_model is not None:
+      logger.info("Warm-starting from pretrained model state...")
+      params = warm_start_params(init_params(config, seed=hparams.seed),
+                                 warm_model.state_dict)
+      iteration = 0
+    else:
+      params = init_params(config, seed=hparams.seed)
+      iteration = 0
+    if mesh is not None:
+      # Note: mesh runs compile twice — step 2 recompiles because the
+      # donated state returns with jit-chosen output shardings that differ
+      # from this explicit placement; from step 3 it is steady-state.
+      params = shard_params(params, mesh)
+    opt_state = restore_opt_state(
+        checkpoint.optimizer if checkpoint is not None else None,
+        optimizer, params)
+
   state = init_state(params, optimizer, iteration)
   state["opt_state"] = opt_state
 
