@@ -17,11 +17,20 @@ pytestmark = pytest.mark.skipif(
 TINY = "n_flows=2,n_channels=32,n_layers=2"
 
 
-def tiny_checkpoint(seed=0):
+def tiny_checkpoint(seed=0, perturb_end=False):
   from dataclasses import asdict
   hp = overwrite_custom_hparams(HParams(), parse_custom_hparams(TINY))
   config = WaveGlowConfig.from_hparams(hp)
   params = init_params(config, seed=seed)
+  if perturb_end:
+    # fresh params zero-init the end convs (identity couplings) — perturb
+    # them so the WN stack actually shapes the waveform and boundary
+    # conditioning differences become observable
+    rng = np.random.default_rng(seed + 100)
+    for flow in params["flows"]:
+      end = flow["wn"]["end"]
+      end["w"] = (0.3 * rng.standard_normal(end["w"].shape)).astype(np.float32)
+      end["b"] = (0.3 * rng.standard_normal(end["b"].shape)).astype(np.float32)
   return CheckpointWaveglow(state_dict=params, optimizer=None,
                             learning_rate=hp.learning_rate, iteration=100,
                             hparams=asdict(hp))
@@ -166,3 +175,87 @@ class TestInferMany:
     synth = BatchSynthesizer(ckpt)
     with pytest.raises(ValueError, match="no frames"):
       synth.infer_many([np.zeros((80, 0), np.float32)])
+
+
+# Tail window affected by bucket padding, in audio samples: each WN layer's
+# dilated conv ('same' padding) reaches 2^i groups each side, a whole stack
+# reaches 2^n_layers - 1 groups, and the reach compounds across flows. The
+# upsample's pad frames cannot touch kept samples at all (pad frame f >= F
+# contributes only to audio positions >= f*hop, all trimmed), so this conv
+# reach is the ONLY deviation channel.
+def _pad_reach_samples(config):
+  return config.n_flows * (2 ** config.n_layers - 1) * config.n_group
+
+
+def test_bucket_padding_deviation_bound():
+  """A bucket-padded synthesis equals solo synthesis on every sample outside
+  the trailing receptive-field window, and the window itself stays below a
+  pinned bound (quantifies the padding semantics documented in
+  serving.infer_many and Synthesizer.infer(bucket_frames=...))."""
+  from waveglow_tpu.inference.synthesizer import Synthesizer
+
+  ckpt = tiny_checkpoint(seed=3, perturb_end=True)
+  synth = Synthesizer(ckpt)
+  frames = 20
+  mel = rand_mels(1, frames, seed=6)[0]
+
+  solo = synth.infer(mel, seed=5, denoiser_strength=0.0)
+  bucketed = synth.infer(mel, seed=5, denoiser_strength=0.0,
+                         bucket_frames=16)  # pads 20 -> 32 frames
+  assert bucketed.wav.shape == solo.wav.shape == (frames * 256,)
+
+  reach = _pad_reach_samples(synth.config)
+  cut = frames * 256 - reach
+  # identical noise (position-keyed per absolute frame), identical upsampled
+  # conditioning -> the prefix outside the conv-reach window must agree to
+  # float-roundoff (the two XLA programs differ only in shape)
+  np.testing.assert_allclose(bucketed.wav[:cut], solo.wav[:cut], atol=1e-6)
+  # the tail sees silence-pad conditioning instead of the solo call's zero
+  # conv boundary; pinned regression bound on the deviation
+  tail_dev = float(np.abs(bucketed.wav[cut:] - solo.wav[cut:]).max())
+  assert tail_dev < 0.5, tail_dev
+
+
+def test_bucket_padding_deviation_bound_denoised():
+  """Same localization property through the denoiser: its STFT roundtrip
+  widens the affected window by one filter length + hop."""
+  from waveglow_tpu.inference.synthesizer import Synthesizer
+
+  ckpt = tiny_checkpoint(seed=3, perturb_end=True)
+  synth = Synthesizer(ckpt)
+  frames = 20
+  mel = rand_mels(1, frames, seed=6)[0]
+
+  solo = synth.infer(mel, seed=5, denoiser_strength=0.01)
+  bucketed = synth.infer(mel, seed=5, denoiser_strength=0.01,
+                         bucket_frames=16)
+  reach = _pad_reach_samples(synth.config)
+  stft_reach = 1024 + 256  # filter_length + hop of the denoiser STFT
+  cut = frames * 256 - reach - stft_reach
+  np.testing.assert_allclose(bucketed.wav_denoised[:cut],
+                             solo.wav_denoised[:cut], atol=1e-5)
+
+
+def test_infer_many_padding_deviation_bound():
+  """infer_many's padded bucket rows deviate from an exact-length call with
+  the same key only inside the trailing receptive-field window (VERDICT
+  round-2 item 8; cites serving.infer_many padding semantics)."""
+  ckpt = tiny_checkpoint(seed=3, perturb_end=True)
+  synth = BatchSynthesizer(ckpt)
+  frames, bucket = 20, 16
+  mel = rand_mels(1, frames, seed=6)[0]
+  padded_f = -(-frames // bucket) * bucket
+
+  bucketed = synth.infer_many([mel], seed=9, bucket_frames=bucket)[0]
+  # solo reference at the TRUE length with infer_many's bucket key: the
+  # position-keyed noise draw then matches on every kept frame
+  key = jax.random.fold_in(jax.random.PRNGKey(9), padded_f)
+  solo = np.asarray(synth._infer(synth.params, synth._put_batch(mel[None]),
+                                 np.float32(1.0), key))[0]
+
+  assert bucketed.shape == solo.shape == (frames * 256,)
+  reach = _pad_reach_samples(synth.config)
+  cut = frames * 256 - reach
+  np.testing.assert_allclose(bucketed[:cut], solo[:cut], atol=1e-6)
+  tail_dev = float(np.abs(bucketed[cut:] - solo[cut:]).max())
+  assert tail_dev < 0.5, tail_dev

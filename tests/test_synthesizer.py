@@ -125,6 +125,46 @@ class TestDenoiserModes:
       Denoiser(synth.params, synth.config, TSTFTHParams(), mode="bogus")
 
 
+class TestBucketFrames:
+  """bucket_frames: distinct-length mels share one compiled program per
+  bucket (the synthesize CLI default — a folder of N lengths must not cost
+  N multi-minute XLA compiles over a tunneled TPU)."""
+
+  def test_program_reuse_across_lengths(self):
+    from dataclasses import asdict
+    hp = overwrite_custom_hparams(HParams(), parse_custom_hparams(TINY))
+    params = init_params(WaveGlowConfig.from_hparams(hp), seed=0)
+    ckpt = CheckpointWaveglow(state_dict=params, optimizer=None,
+                              learning_rate=hp.learning_rate, iteration=1,
+                              hparams=asdict(hp))
+    synth = Synthesizer(ckpt)
+
+    lengths = [10, 13, 16]  # all bucket to 16 frames
+    for f in lengths:
+      res = synth.infer(rand_mel(f, seed=f), seed=0, bucket_frames=16)
+      assert res.wav.shape == (f * 256,)
+      assert res.wav_denoised.shape == (f * 256,)
+    # one traced synthesis program and one denoiser program for all three
+    assert synth._infer_keyed._cache_size() == 1
+    assert synth._denoise_jit._cache_size() == 1
+
+  def test_exact_multiple_is_unpadded_program(self):
+    """A mel already on the bucket boundary is bit-identical to the
+    unbucketed call (no padding happened)."""
+    from dataclasses import asdict
+    hp = overwrite_custom_hparams(HParams(), parse_custom_hparams(TINY))
+    params = init_params(WaveGlowConfig.from_hparams(hp), seed=0)
+    ckpt = CheckpointWaveglow(state_dict=params, optimizer=None,
+                              learning_rate=hp.learning_rate, iteration=1,
+                              hparams=asdict(hp))
+    synth = Synthesizer(ckpt)
+    mel = rand_mel(16, seed=2)
+    plain = synth.infer(mel, seed=3, denoiser_strength=0.0)
+    bucketed = synth.infer(mel, seed=3, denoiser_strength=0.0,
+                           bucket_frames=16)
+    np.testing.assert_array_equal(plain.wav, bucketed.wav)
+
+
 class TestSynthesizerStreaming:
 
   def test_stream_pieces_cover_utterance(self, synth):

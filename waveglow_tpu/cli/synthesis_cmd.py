@@ -71,6 +71,14 @@ def _add_common(parser: ArgumentParser) -> None:
                       help="synthesize in fixed mel windows of this many "
                            "frames (constant activation memory; exact vs "
                            "one-call synthesis) — for very long inputs")
+  parser.add_argument("--bucket-frames", type=parse_non_negative_integer,
+                      default=64,
+                      help="pad each mel's frame count up to a multiple of "
+                           "this before synthesis (trimmed afterwards), so a "
+                           "folder of distinct-length files reuses a handful "
+                           "of compiled XLA programs instead of paying one "
+                           "multi-minute compile per length; 0 disables "
+                           "(exact per-length synthesis)")
   parser.add_argument("-out", "--output-directory", type=parse_path,
                       default=None,
                       help="custom output directory if FOLDER should not "
@@ -164,7 +172,8 @@ def _run(ns: Namespace, source: str) -> bool:
 
     result = synth.infer(mel, sigma=ns.sigma,
                          denoiser_strength=ns.denoiser_strength, seed=seed,
-                         chunk_frames=ns.chunk_frames)
+                         chunk_frames=ns.chunk_frames,
+                         bucket_frames=ns.bucket_frames or None)
     wav_norm = normalize_wav(result.wav_denoised)
 
     wav_out.parent.mkdir(parents=True, exist_ok=True)

@@ -114,8 +114,10 @@ class BatchSynthesizer:
     'same'-padded in time, so the trailing ~receptive-field samples
     (2*(2^n_layers - 1)*n_group per flow) see silence-pad conditioning
     instead of the implicit zero pad of a solo call — the same boundary
-    class of difference as any batched-padding server. Outputs are
-    deterministic for a fixed (seed, bucket shape).
+    class of difference as any batched-padding server. The localization and
+    a pinned magnitude bound are regression-tested in
+    tests/test_serving.py::test_infer_many_padding_deviation_bound. Outputs
+    are deterministic for a fixed (seed, bucket shape).
 
     With a data mesh, bucket batches are padded (by repeating the last row)
     to a multiple of the data-axis size, and the repeats are dropped.

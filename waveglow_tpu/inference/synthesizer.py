@@ -31,8 +31,10 @@ import numpy as np
 from waveglow_tpu.checkpointing.store import CheckpointWaveglow
 from waveglow_tpu.hparams import HParams, overwrite_custom_hparams
 from waveglow_tpu.inference.denoiser import Denoiser
-from waveglow_tpu.models.waveglow import (WaveGlowConfig, fuse_for_inference,
-                                          infer, infer_noise_shapes)
+from waveglow_tpu.dsp.mel import CLIP_VAL
+from waveglow_tpu.models.waveglow import (UPSAMPLE_STRIDE, WaveGlowConfig,
+                                          fuse_for_inference, infer,
+                                          infer_noise_shapes)
 
 logger = logging.getLogger(__name__)
 
@@ -97,7 +99,8 @@ class Synthesizer:
   def infer(self, mel: np.ndarray, *, sigma: float = 1.0,
             denoiser_strength: float = 0.0005, seed: int = 0,
             noise: Optional[Sequence[np.ndarray]] = None,
-            chunk_frames: Optional[int] = None) -> InferenceResult:
+            chunk_frames: Optional[int] = None,
+            bucket_frames: Optional[int] = None) -> InferenceResult:
     """mel [n_mels, frames] (or [1, n_mels, frames]) -> InferenceResult.
 
     ``noise``: optional injected standard-normal tensors in the draw order
@@ -106,6 +109,16 @@ class Synthesizer:
     model's receptive-field halo) at constant activation memory — for
     utterances too long to fit HBM in one call (see
     waveglow_tpu.inference.streaming).
+    ``bucket_frames``: pad the mel's frame count up to a multiple of this
+    with the log-clamp silence floor before synthesis and trim the waveform
+    back to the true sample count. The jitted program is cached per PADDED
+    length, so a folder of N distinct-length files costs O(distinct buckets)
+    XLA compiles instead of N (each full-model remote compile takes minutes
+    over a tunneled TPU). Noise is position-keyed per absolute mel frame, so
+    the kept samples draw the identical noise the unbucketed call would —
+    only the trailing receptive-field window sees silence-pad conditioning
+    instead of the conv zero boundary (the deviation is quantified in
+    tests/test_serving.py::test_bucket_padding_deviation_bound).
     """
     timepoint = datetime.datetime.now()
     mel = jnp.asarray(mel, dtype=jnp.float32)
@@ -116,6 +129,16 @@ class Synthesizer:
           f"expected mel of shape [{self.config.n_mel_channels}, frames] "
           f"(or [1, {self.config.n_mel_channels}, frames]), got "
           f"{tuple(np.shape(mel))}")
+
+    true_samples = None
+    if (bucket_frames is not None and bucket_frames > 0 and noise is None
+        and chunk_frames is None):
+      frames = mel.shape[-1]
+      padded = -(-frames // bucket_frames) * bucket_frames
+      true_samples = frames * UPSAMPLE_STRIDE
+      if padded != frames:
+        mel = jnp.pad(mel, ((0, 0), (0, 0), (0, padded - frames)),
+                      constant_values=float(np.log(CLIP_VAL)))
 
     sigma_arr = jnp.float32(sigma)
     start = time.perf_counter()
@@ -134,6 +157,9 @@ class Synthesizer:
     wav.block_until_ready()
     inference_duration_s = time.perf_counter() - start
 
+    # The denoiser runs on the still-padded waveform (its STFT roundtrip is
+    # also an XLA program cached per length); both outputs are trimmed to the
+    # true sample count afterwards.
     denoising_duration_s = 0.0
     wav_denoised = wav
     if denoiser_strength > 0:
@@ -141,6 +167,10 @@ class Synthesizer:
       wav_denoised = self._denoise_jit(wav, jnp.float32(denoiser_strength))
       wav_denoised.block_until_ready()
       denoising_duration_s = time.perf_counter() - start_dn
+
+    if true_samples is not None and wav.shape[-1] > true_samples:
+      wav = wav[..., :true_samples]
+      wav_denoised = wav_denoised[..., :true_samples]
 
     wav_np = np.asarray(wav).squeeze()
     wav_denoised_np = np.asarray(wav_denoised).squeeze()
