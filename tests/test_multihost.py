@@ -152,6 +152,51 @@ TRAIN_WORKER = textwrap.dedent("""
 """)
 
 
+FAULT_WORKER = textwrap.dedent("""
+    import os, signal, sys
+    sys.path.insert(0, {repo!r})
+    os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "") +
+                               " --xla_force_host_platform_device_count=2")
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+
+    rank = int(sys.argv[1]); port = sys.argv[2]
+    data_dir, ckpt_dir, logdir = sys.argv[3], sys.argv[4], sys.argv[5]
+    kill_at = int(sys.argv[6])
+
+    # join the process group before ANY backend-touching import (the fault
+    # patch below imports the training modules; in a real pod the CLI's
+    # --coordinator-address flags do this inside train_ns before other work)
+    jax.distributed.initialize(coordinator_address="127.0.0.1:" + port,
+                               num_processes=2, process_id=rank)
+
+    if kill_at and rank == 1:
+      # fault injection: SIGKILL this rank right before its train-step call
+      # number `kill_at` executes — a hard mid-epoch preemption (no atexit,
+      # no finally blocks, no checkpoint flush)
+      from waveglow_tpu.training import loop as loop_mod
+      orig_make = loop_mod.make_train_step
+      def make_patched(*a, **k):
+        step = orig_make(*a, **k)
+        calls = {{"n": 0}}
+        def wrapped(state, batch):
+          calls["n"] += 1
+          if calls["n"] == kill_at:
+            os.kill(os.getpid(), signal.SIGKILL)
+          return step(state, batch)
+        return wrapped
+      loop_mod.make_train_step = make_patched
+
+    # the REAL preemption-recovery surface: the same `train --auto-resume`
+    # CLI command, re-run verbatim after the kill (training_cmd.py:124-133)
+    from waveglow_tpu.cli.main import run
+    rc = run(["train", data_dir + "/train", data_dir + "/val", ckpt_dir,
+              "--custom-hparams", {hp_str!r}, "--auto-resume",
+              "--tl-dir", logdir])
+    sys.exit(rc)
+""")
+
+
 def _free_port() -> int:
   s = socket.socket()
   s.bind(("127.0.0.1", 0))
@@ -323,3 +368,103 @@ def test_two_process_train_loop_with_resume(tmp_path, extra_hp):
   for it in (1, 2, 3, 4):
     assert mh_losses[it] == pytest.approx(sp_losses[it], rel=1e-4)
   assert results[0]["digest"] == pytest.approx(sp_digest, rel=1e-5)
+
+
+FAULT_HP = TRAIN_HP.replace("epochs=100", "epochs=3")  # 3 epochs x 2 = 6 its
+
+
+@pytest.mark.slow
+def test_preemption_sigkill_and_auto_resume(tmp_path):
+  """Hard-preemption fault injection (SURVEY §5.3): SIGKILL one rank of a
+  2-process run mid-epoch, re-run the identical ``train --auto-resume``
+  command, and require (a) the rerun resumes at the last checkpoint's next
+  iteration, (b) the killed iteration is deterministically replayed, and
+  (c) the final params match an uninterrupted single-process run."""
+  import json
+  import time as _time
+
+  import jax
+  from waveglow_tpu.checkpointing.store import (CheckpointWaveglow,
+                                                get_last_checkpoint)
+  from waveglow_tpu.hparams import parse_custom_hparams
+  from waveglow_tpu.training.data import load_dataset
+  from waveglow_tpu.training.loop import train
+  from tests.test_training import write_noise_dataset
+
+  data_dir = tmp_path / "data"
+  write_noise_dataset(data_dir / "train", n=8, seconds=0.3)
+  write_noise_dataset(data_dir / "val", n=4, seconds=0.3, seed=7)
+  ckpt_dir = tmp_path / "ckpts"
+  logdir = tmp_path / "logs"
+  script = tmp_path / "fault_worker.py"
+  script.write_text(FAULT_WORKER.format(repo=str(REPO_ROOT),
+                                        hp_str=FAULT_HP))
+  env = dict(os.environ)
+  env.pop("JAX_PLATFORMS", None)
+
+  def spawn(port, kill_at):
+    return [
+        subprocess.Popen(
+            [sys.executable, str(script), str(rank), port, str(data_dir),
+             str(ckpt_dir), str(logdir), str(kill_at)],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            env=env)
+        for rank in range(2)
+    ]
+
+  # --- phase 1: train, rank 1 is SIGKILLed before step 4 (epoch 2 of 3,
+  # after the iteration-2 checkpoint) ---------------------------------------
+  procs = spawn(str(_free_port()), kill_at=4)
+  assert procs[1].wait(timeout=600) == -9  # died by SIGKILL, not cleanly
+  # rank 0 is wedged in a collective whose peer is gone — the job controller
+  # (here: this test) tears the remaining rank down the same hard way
+  _time.sleep(2.0)
+  procs[0].kill()
+  procs[0].communicate()
+  procs[1].communicate()
+
+  phase1 = {}
+  with open(logdir / "metrics.jsonl") as f:
+    for line in f:
+      rec = json.loads(line)
+      if rec["event"] == "train_step":
+        phase1[rec["iteration"]] = rec["loss"]
+  assert sorted(phase1) == [1, 2, 3], phase1  # step 4 never completed
+  _, last_it = get_last_checkpoint(ckpt_dir)
+  assert last_it == 2  # iteration-3 work after the save is lost, as designed
+
+  # --- phase 2: the SAME command re-run (new coordinator port) -------------
+  procs = spawn(str(_free_port()), kill_at=0)
+  for p in procs:
+    out, err = p.communicate(timeout=600)
+    assert p.returncode == 0, f"resume failed:\nstdout:{out}\nstderr:{err[-4000:]}"
+
+  records = []
+  with open(logdir / "metrics.jsonl") as f:
+    for line in f:
+      rec = json.loads(line)
+      if rec["event"] == "train_step":
+        records.append(rec)
+  phase2 = {r["iteration"]: r["loss"] for r in records[len(phase1):]}
+  # resumed at the checkpoint's next batch: iteration 3 (replayed), 4, 5, 6
+  assert sorted(phase2) == [3, 4, 5, 6], phase2
+  # the lost iteration is REPLAYED deterministically: same batch, same state
+  assert phase2[3] == pytest.approx(phase1[3], rel=1e-6)
+
+  # --- uninterrupted single-process oracle ----------------------------------
+  hp = parse_custom_hparams(FAULT_HP)
+  trainset = load_dataset(data_dir / "train")
+  valset = load_dataset(data_dir / "val")
+  state = train(hp, tmp_path / "sp_logs", trainset, valset,
+                tmp_path / "sp_ckpts")
+  assert int(state["step"]) == 6
+
+  def digest(params):
+    return float(sum(np.abs(np.asarray(x, dtype=np.float64)).sum()
+                     for x in jax.tree_util.tree_leaves(params)))
+
+  path, it = get_last_checkpoint(ckpt_dir)
+  assert it == 6
+  mh_final = CheckpointWaveglow.load(path)
+  assert digest(mh_final.state_dict) == pytest.approx(
+      digest(state["params"]), rel=1e-5)
