@@ -32,6 +32,12 @@ def main():
   parser.add_argument("--pallas", dest="pallas", action="store_true",
                       default=None, help="force the fused Pallas WN kernels")
   parser.add_argument("--no-pallas", dest="pallas", action="store_false")
+  parser.add_argument("--latency", action="store_true", default=True,
+                      help="also measure single-utterance (batch 1) latency "
+                           "and streaming first-audio latency")
+  parser.add_argument("--no-latency", dest="latency", action="store_false")
+  parser.add_argument("--latency-iters", type=int, default=7)
+  parser.add_argument("--stream-chunk-frames", type=int, default=128)
   parser.add_argument("--train", action="store_true", default=True)
   parser.add_argument("--no-train", dest="train", action="store_false")
   parser.add_argument("--train-batch", type=int, default=8)
@@ -105,6 +111,52 @@ def main():
       "platform": jax.devices()[0].platform,
       "device": str(jax.devices()[0]),
   }
+
+  if args.latency:
+    # Single-utterance latency (batch 1): the second most important serving
+    # number for a vocoder — the reference's usage model is one utterance
+    # per call (reference synthesizer.py:58-68 times exactly this).
+    mel1 = mel[:1]
+    wav1 = infer_fn(params, mel1, key)  # compile
+    float(wav1.sum())
+    utt_seconds = wav1.shape[1] / hp.sampling_rate
+    lat = []
+    for i in range(args.latency_iters):
+      t0 = time.perf_counter()
+      w = infer_fn(params, mel1, jax.random.PRNGKey(100 + i))
+      float(w.sum())  # end-to-end: includes the wav fetch the caller needs
+      lat.append(time.perf_counter() - t0)
+    p50 = float(np.median(lat))
+    extras["batch1_latency_s_p50"] = round(p50, 4)
+    extras["per_utterance_realtime_factor_batch1"] = round(
+        utt_seconds / p50, 1)
+
+    # Streaming: wall-clock until the FIRST audio chunk is on the host —
+    # playback can start after ~chunk+halo frames instead of the whole
+    # utterance.
+    from waveglow_tpu.inference.streaming import stream_chunks
+
+    def first_chunk(seed):
+      gen = stream_chunks(params, config, mel1, sigma=1.0,
+                          rng=jax.random.PRNGKey(seed),
+                          chunk_frames=args.stream_chunk_frames,
+                          compute_dtype=cdt, scan_flows=hp.scan_flows)
+      _, piece = next(gen)
+      float(piece.sum())
+      gen.close()
+      return piece
+
+    piece = first_chunk(0)  # compile the window program
+    lat = []
+    for i in range(args.latency_iters):
+      t0 = time.perf_counter()
+      first_chunk(200 + i)
+      lat.append(time.perf_counter() - t0)
+    extras["streaming_first_audio_latency_s_p50"] = round(
+        float(np.median(lat)), 4)
+    extras["streaming_first_chunk_audio_s"] = round(
+        piece.shape[1] / hp.sampling_rate, 3)
+    extras["streaming_chunk_frames"] = args.stream_chunk_frames
 
   if args.train:
     try:
