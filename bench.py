@@ -26,7 +26,9 @@ def main():
   parser.add_argument("--batch", type=int, default=8)
   parser.add_argument("--frames", type=int, default=826,
                       help="mel frames per utterance (826 ~= 9.59 s)")
-  parser.add_argument("--iters", type=int, default=5)
+  parser.add_argument("--iters", type=int, default=20,
+                      help="timed synthesis calls; higher smooths tunnel "
+                           "variance (each is ~0.4 s of device time)")
   parser.add_argument("--dtype", default="bfloat16",
                       choices=["bfloat16", "float32"])
   parser.add_argument("--pallas", dest="pallas", action="store_true",
