@@ -148,6 +148,28 @@ class TestBucketFrames:
     assert synth._infer_keyed._cache_size() == 1
     assert synth._denoise_jit._cache_size() == 1
 
+  def test_bucket_composes_with_chunked(self):
+    """bucket_frames + chunk_frames: the chunked window program is traced
+    against the padded mel shape (bounded compile count for folders of long
+    files), output still trimmed to the true length and equal to the
+    unbucketed chunked call outside the pad-conditioning tail window."""
+    from dataclasses import asdict
+    hp = overwrite_custom_hparams(HParams(), parse_custom_hparams(TINY))
+    params = init_params(WaveGlowConfig.from_hparams(hp), seed=0)
+    ckpt = CheckpointWaveglow(state_dict=params, optimizer=None,
+                              learning_rate=hp.learning_rate, iteration=1,
+                              hparams=asdict(hp))
+    synth = Synthesizer(ckpt)
+    mel = rand_mel(20, seed=5)
+    plain = synth.infer(mel, seed=4, denoiser_strength=0.0, chunk_frames=8)
+    bucketed = synth.infer(mel, seed=4, denoiser_strength=0.0,
+                           chunk_frames=8, bucket_frames=16)
+    assert bucketed.wav.shape == plain.wav.shape == (20 * 256,)
+    reach = (synth.config.n_flows * (2 ** synth.config.n_layers - 1)
+             * synth.config.n_group)
+    np.testing.assert_allclose(bucketed.wav[:20 * 256 - reach],
+                               plain.wav[:20 * 256 - reach], atol=1e-5)
+
   def test_exact_multiple_is_unpadded_program(self):
     """A mel already on the bucket boundary is bit-identical to the
     unbucketed call (no padding happened)."""

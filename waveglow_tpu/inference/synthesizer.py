@@ -131,8 +131,10 @@ class Synthesizer:
           f"{tuple(np.shape(mel))}")
 
     true_samples = None
-    if (bucket_frames is not None and bucket_frames > 0 and noise is None
-        and chunk_frames is None):
+    if bucket_frames is not None and bucket_frames > 0 and noise is None:
+      # composes with chunk_frames: the chunked window program is also traced
+      # against the full mel's (padded) shape, so bucketing bounds its
+      # compile count the same way
       frames = mel.shape[-1]
       padded = -(-frames // bucket_frames) * bucket_frames
       true_samples = frames * UPSAMPLE_STRIDE
