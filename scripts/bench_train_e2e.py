@@ -91,6 +91,7 @@ def main():
 
   rows = []
   base_params = None
+  base_config = None
   for spec in args.configs.split(";"):
     spec = spec.strip()
     if not spec:
@@ -98,8 +99,9 @@ def main():
     hp = overwrite_custom_hparams(
         HParams(), {"compute_dtype": args.dtype, **parse_custom_hparams(spec)})
     config = WaveGlowConfig.from_hparams(hp)
-    if base_params is None:
+    if base_params is None or config != base_config:
       base_params = init_params(config, seed=0)
+      base_config = config
 
     dataset = SegmentDataset(entries, hp)
     loader = BatchLoader(dataset, hp.batch_size, drop_last=True, prefetch=2)

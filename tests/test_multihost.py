@@ -412,23 +412,37 @@ def test_preemption_sigkill_and_auto_resume(tmp_path):
         for rank in range(2)
     ]
 
+  def read_steps():
+    steps = {}
+    try:
+      with open(logdir / "metrics.jsonl") as f:
+        for line in f:
+          try:
+            rec = json.loads(line)
+          except json.JSONDecodeError:
+            continue  # torn trailing line from a killed writer
+          if rec.get("event") == "train_step":
+            steps[rec["iteration"]] = rec["loss"]
+    except FileNotFoundError:
+      pass
+    return steps
+
   # --- phase 1: train, rank 1 is SIGKILLed before step 4 (epoch 2 of 3,
   # after the iteration-2 checkpoint) ---------------------------------------
   procs = spawn(str(_free_port()), kill_at=4)
   assert procs[1].wait(timeout=600) == -9  # died by SIGKILL, not cleanly
-  # rank 0 is wedged in a collective whose peer is gone — the job controller
-  # (here: this test) tears the remaining rank down the same hard way
-  _time.sleep(2.0)
+  # rank 0 completed step 3 (rank 1 only reaches its 4th call after the
+  # step-3 collective) — wait for its metrics append to land, then the job
+  # controller (here: this test) tears the remaining wedged rank down the
+  # same hard way
+  deadline = _time.time() + 120
+  while 3 not in read_steps() and _time.time() < deadline:
+    _time.sleep(0.25)
   procs[0].kill()
   procs[0].communicate()
   procs[1].communicate()
 
-  phase1 = {}
-  with open(logdir / "metrics.jsonl") as f:
-    for line in f:
-      rec = json.loads(line)
-      if rec["event"] == "train_step":
-        phase1[rec["iteration"]] = rec["loss"]
+  phase1 = read_steps()
   assert sorted(phase1) == [1, 2, 3], phase1  # step 4 never completed
   _, last_it = get_last_checkpoint(ckpt_dir)
   assert last_it == 2  # iteration-3 work after the save is lost, as designed
@@ -439,15 +453,10 @@ def test_preemption_sigkill_and_auto_resume(tmp_path):
     out, err = p.communicate(timeout=600)
     assert p.returncode == 0, f"resume failed:\nstdout:{out}\nstderr:{err[-4000:]}"
 
-  records = []
-  with open(logdir / "metrics.jsonl") as f:
-    for line in f:
-      rec = json.loads(line)
-      if rec["event"] == "train_step":
-        records.append(rec)
-  phase2 = {r["iteration"]: r["loss"] for r in records[len(phase1):]}
+  all_steps = read_steps()  # later records win: phase-2 values at 3..6
   # resumed at the checkpoint's next batch: iteration 3 (replayed), 4, 5, 6
-  assert sorted(phase2) == [3, 4, 5, 6], phase2
+  assert sorted(all_steps) == [1, 2, 3, 4, 5, 6], all_steps
+  phase2 = {it: all_steps[it] for it in (3, 4, 5, 6)}
   # the lost iteration is REPLAYED deterministically: same batch, same state
   assert phase2[3] == pytest.approx(phase1[3], rel=1e-6)
 

@@ -111,10 +111,13 @@ class Synthesizer:
     waveglow_tpu.inference.streaming).
     ``bucket_frames``: pad the mel's frame count up to a multiple of this
     with the log-clamp silence floor before synthesis and trim the waveform
-    back to the true sample count. The jitted program is cached per PADDED
-    length, so a folder of N distinct-length files costs O(distinct buckets)
-    XLA compiles instead of N (each full-model remote compile takes minutes
-    over a tunneled TPU). Noise is position-keyed per absolute mel frame, so
+    back to the true sample count. Ignored when explicit ``noise`` tensors
+    are injected (their shapes pin the exact unpadded draw order — parity
+    harnesses need the precise program). The jitted program is cached per
+    PADDED length, so a folder of N distinct-length files costs O(distinct
+    buckets) XLA compiles instead of N (each full-model remote compile takes
+    ~37 s over a tunneled TPU, docs/PERFORMANCE.md folder-synthesis
+    section). Noise is position-keyed per absolute mel frame, so
     the kept samples draw the identical noise the unbucketed call would —
     only the trailing receptive-field window sees silence-pad conditioning
     instead of the conv zero boundary (the deviation is quantified in
