@@ -204,6 +204,23 @@ class TestDiscovery:
     with pytest.raises(FileNotFoundError):
       get_last_checkpoint_any(tmp_path)
 
+  def test_torn_checkpoint_ignored(self, tmp_path):
+    """A rank killed mid-save leaves a directory without the committed state
+    item (orbax writes into a temp dir and renames after a barrier, so a
+    torn checkpoint never has one). Discovery and auto-resume must ignore
+    it and fall back to the previous complete checkpoint."""
+    hp = tiny_hp()
+    params, optimizer, opt_state = tiny_state(hp)
+    orbax_store.save_sharded(tmp_path, 100, params, opt_state, hp)
+
+    torn = tmp_path / "200.orbax"
+    torn.mkdir()  # looks like a checkpoint dir, carries no state item
+    (torn / "meta").mkdir()
+
+    assert get_all_iterations_any(tmp_path) == [100]
+    path, it = get_last_checkpoint_any(tmp_path)
+    assert it == 100
+
 
 class TestTrainLoopIntegration:
 
