@@ -40,6 +40,11 @@ def main():
   parser.add_argument("--no-latency", dest="latency", action="store_false")
   parser.add_argument("--latency-iters", type=int, default=7)
   parser.add_argument("--stream-chunk-frames", type=int, default=128)
+  parser.add_argument("--budget-seconds", type=float, default=1500,
+                      help="soft deadline: optional sections (latency, "
+                           "training) start only while under this elapsed "
+                           "wall time, so the headline JSON line always "
+                           "prints even when remote compiles are slow")
   parser.add_argument("--train", action="store_true", default=True)
   parser.add_argument("--no-train", dest="train", action="store_false")
   parser.add_argument("--train-batch", type=int, default=8)
@@ -53,6 +58,10 @@ def main():
   parser.add_argument("--no-train-batch24", dest="train_batch24",
                       action="store_false")
   args = parser.parse_args()
+  t_begin = time.perf_counter()
+
+  def within_budget() -> bool:
+    return time.perf_counter() - t_begin < args.budget_seconds
 
   import jax
   import jax.numpy as jnp
@@ -114,6 +123,9 @@ def main():
       "device": str(jax.devices()[0]),
   }
 
+  if args.latency and not within_budget():
+    args.latency = False
+    extras["latency_skipped"] = "budget"
   if args.latency:
     # Single-utterance latency (batch 1): the second most important serving
     # number for a vocoder — the reference's usage model is one utterance
@@ -160,6 +172,9 @@ def main():
         piece.shape[1] / hp.sampling_rate, 3)
     extras["streaming_chunk_frames"] = args.stream_chunk_frames
 
+  if args.train and not within_budget():
+    args.train = False
+    extras["training_skipped"] = "budget"
   if args.train:
     try:
       from waveglow_tpu.dsp.mel import MelSTFT
@@ -190,7 +205,7 @@ def main():
       extras["training_step_seconds"] = round(t_el / args.train_iters, 4)
       extras["training_loss_finite"] = bool(np.isfinite(float(loss)))
 
-      if args.train_batch24:
+      if args.train_batch24 and within_budget():
         # the reference workload's config (paper batch 24): grad-accum 3x8
         # measured 76.9 vs 62.0 samples/s flat on v5e (docs/PERFORMANCE.md)
         thp24 = overwrite_custom_hparams(HParams(), {
