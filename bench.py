@@ -127,50 +127,54 @@ def main():
     args.latency = False
     extras["latency_skipped"] = "budget"
   if args.latency:
-    # Single-utterance latency (batch 1): the second most important serving
-    # number for a vocoder — the reference's usage model is one utterance
-    # per call (reference synthesizer.py:58-68 times exactly this).
-    mel1 = mel[:1]
-    wav1 = infer_fn(params, mel1, key)  # compile
-    float(wav1.sum())
-    utt_seconds = wav1.shape[1] / hp.sampling_rate
-    lat = []
-    for i in range(args.latency_iters):
-      t0 = time.perf_counter()
-      w = infer_fn(params, mel1, jax.random.PRNGKey(100 + i))
-      float(w.sum())  # end-to-end: includes the wav fetch the caller needs
-      lat.append(time.perf_counter() - t0)
-    p50 = float(np.median(lat))
-    extras["batch1_latency_s_p50"] = round(p50, 4)
-    extras["per_utterance_realtime_factor_batch1"] = round(
-        utt_seconds / p50, 1)
+    try:
+      # Single-utterance latency (batch 1): the second most important serving
+      # number for a vocoder — the reference's usage model is one utterance
+      # per call (reference synthesizer.py:58-68 times exactly this).
+      mel1 = mel[:1]
+      wav1 = infer_fn(params, mel1, key)  # compile
+      float(wav1.sum())
+      utt_seconds = wav1.shape[1] / hp.sampling_rate
+      lat = []
+      for i in range(args.latency_iters):
+        t0 = time.perf_counter()
+        w = infer_fn(params, mel1, jax.random.PRNGKey(100 + i))
+        float(w.sum())  # end-to-end: includes the wav fetch the caller needs
+        lat.append(time.perf_counter() - t0)
+      p50 = float(np.median(lat))
+      extras["batch1_latency_s_p50"] = round(p50, 4)
+      extras["per_utterance_realtime_factor_batch1"] = round(
+          utt_seconds / p50, 1)
 
-    # Streaming: wall-clock until the FIRST audio chunk is on the host —
-    # playback can start after ~chunk+halo frames instead of the whole
-    # utterance.
-    from waveglow_tpu.inference.streaming import stream_chunks
+      # Streaming: wall-clock until the FIRST audio chunk is on the host —
+      # playback can start after ~chunk+halo frames instead of the whole
+      # utterance.
+      from waveglow_tpu.inference.streaming import stream_chunks
 
-    def first_chunk(seed):
-      gen = stream_chunks(params, config, mel1, sigma=1.0,
-                          rng=jax.random.PRNGKey(seed),
-                          chunk_frames=args.stream_chunk_frames,
-                          compute_dtype=cdt, scan_flows=hp.scan_flows)
-      _, piece = next(gen)
-      float(piece.sum())
-      gen.close()
-      return piece
+      def first_chunk(seed):
+        gen = stream_chunks(params, config, mel1, sigma=1.0,
+                            rng=jax.random.PRNGKey(seed),
+                            chunk_frames=args.stream_chunk_frames,
+                            compute_dtype=cdt, scan_flows=hp.scan_flows)
+        _, piece = next(gen)
+        float(piece.sum())
+        gen.close()
+        return piece
 
-    piece = first_chunk(0)  # compile the window program
-    lat = []
-    for i in range(args.latency_iters):
-      t0 = time.perf_counter()
-      first_chunk(200 + i)
-      lat.append(time.perf_counter() - t0)
-    extras["streaming_first_audio_latency_s_p50"] = round(
-        float(np.median(lat)), 4)
-    extras["streaming_first_chunk_audio_s"] = round(
-        piece.shape[1] / hp.sampling_rate, 3)
-    extras["streaming_chunk_frames"] = args.stream_chunk_frames
+      piece = first_chunk(0)  # compile the window program
+      lat = []
+      for i in range(args.latency_iters):
+        t0 = time.perf_counter()
+        first_chunk(200 + i)
+        lat.append(time.perf_counter() - t0)
+      extras["streaming_first_audio_latency_s_p50"] = round(
+          float(np.median(lat)), 4)
+      extras["streaming_first_chunk_audio_s"] = round(
+          piece.shape[1] / hp.sampling_rate, 3)
+      extras["streaming_chunk_frames"] = args.stream_chunk_frames
+    except Exception as e:  # latency bench is best-effort, like training:
+      # the headline throughput JSON line must survive a failure here
+      extras["latency_error"] = f"{type(e).__name__}: {e}"
 
   if args.train and not within_budget():
     args.train = False
@@ -205,7 +209,10 @@ def main():
       extras["training_step_seconds"] = round(t_el / args.train_iters, 4)
       extras["training_loss_finite"] = bool(np.isfinite(float(loss)))
 
-      if args.train_batch24 and within_budget():
+      if args.train_batch24 and not within_budget():
+        args.train_batch24 = False
+        extras["training_batch24_skipped"] = "budget"
+      if args.train_batch24:
         # the reference workload's config (paper batch 24): grad-accum 3x8
         # measured 76.9 vs 62.0 samples/s flat on v5e (docs/PERFORMANCE.md)
         thp24 = overwrite_custom_hparams(HParams(), {

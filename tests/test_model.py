@@ -165,3 +165,31 @@ class TestFusion:
     z, s_tot, d_tot = fwd(params, mel, audio)
     assert np.isfinite(np.asarray(z)).all()
     assert np.isfinite(float(s_tot)) and np.isfinite(float(d_tot))
+
+
+class TestAbstractParams:
+  """abstract_params must stay in lockstep with init_params: the sharded
+  orbax resume builds its placement template from the skeleton instead of
+  materializing the full model per host (training/loop.py)."""
+
+  @pytest.mark.parametrize("config,weight_norm", [
+      (TINY, True),
+      (FULL, True),
+      (FULL, False),
+      # asymmetric config exercising every shape formula differently
+      (WaveGlowConfig(n_flows=3, n_channels=48, n_layers=3, n_group=4,
+                      n_early_every=2, n_early_size=2, kernel_size=5), True),
+  ])
+  def test_abstract_params_matches_init(self, config, weight_norm):
+    concrete = init_params(config, seed=0, weight_norm=weight_norm)
+    skeleton = waveglow.abstract_params(config, weight_norm=weight_norm)
+    c_leaves, c_def = jax.tree_util.tree_flatten(concrete)
+    s_leaves, s_def = jax.tree_util.tree_flatten(skeleton)
+    assert c_def == s_def
+    for c, s in zip(c_leaves, s_leaves):
+      assert tuple(c.shape) == tuple(s.shape)
+      assert np.dtype(c.dtype) == np.dtype(s.dtype)
+
+  def test_skeleton_leaves_are_abstract(self):
+    for leaf in jax.tree_util.tree_leaves(waveglow.abstract_params(TINY)):
+      assert isinstance(leaf, jax.ShapeDtypeStruct)

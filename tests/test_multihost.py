@@ -120,6 +120,12 @@ TRAIN_WORKER = textwrap.dedent("""
       def _forbidden(*a, **k):
         raise AssertionError("restore_host called during sharded resume")
       orbax_store.restore_host = _forbidden
+      # ... and no host materializes a full model either: the placement
+      # template must come from the abstract skeleton, not init_params
+      import waveglow_tpu.training.loop as loop_mod
+      def _forbidden_init(*a, **k):
+        raise AssertionError("init_params called during sharded resume")
+      loop_mod.init_params = _forbidden_init
       real_restore_sharded = orbax_store.restore_sharded
       def _checked(path_, template, optimizer):
         params, opt_state, meta = real_restore_sharded(path_, template,

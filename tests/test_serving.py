@@ -184,7 +184,9 @@ class TestInferMany:
 # contributes only to audio positions >= f*hop, all trimmed), so this conv
 # reach is the ONLY deviation channel.
 def _pad_reach_samples(config):
-  return config.n_flows * (2 ** config.n_layers - 1) * config.n_group
+  per_layer = (config.kernel_size - 1) // 2
+  return (config.n_flows * per_layer * (2 ** config.n_layers - 1)
+          * config.n_group)
 
 
 def test_bucket_padding_deviation_bound():

@@ -125,20 +125,25 @@ class TestDenoiserModes:
       Denoiser(synth.params, synth.config, TSTFTHParams(), mode="bogus")
 
 
+def fresh_tiny_synth():
+  """A fresh Synthesizer (fresh program caches — TestBucketFrames counts
+  compiled programs, so the shared module fixture would skew the counts)."""
+  from dataclasses import asdict
+  hp = overwrite_custom_hparams(HParams(), parse_custom_hparams(TINY))
+  params = init_params(WaveGlowConfig.from_hparams(hp), seed=0)
+  ckpt = CheckpointWaveglow(state_dict=params, optimizer=None,
+                            learning_rate=hp.learning_rate, iteration=1,
+                            hparams=asdict(hp))
+  return Synthesizer(ckpt)
+
+
 class TestBucketFrames:
   """bucket_frames: distinct-length mels share one compiled program per
   bucket (the synthesize CLI default — a folder of N lengths must not cost
   N multi-minute XLA compiles over a tunneled TPU)."""
 
   def test_program_reuse_across_lengths(self):
-    from dataclasses import asdict
-    hp = overwrite_custom_hparams(HParams(), parse_custom_hparams(TINY))
-    params = init_params(WaveGlowConfig.from_hparams(hp), seed=0)
-    ckpt = CheckpointWaveglow(state_dict=params, optimizer=None,
-                              learning_rate=hp.learning_rate, iteration=1,
-                              hparams=asdict(hp))
-    synth = Synthesizer(ckpt)
-
+    synth = fresh_tiny_synth()
     lengths = [10, 13, 16]  # all bucket to 16 frames
     for f in lengths:
       res = synth.infer(rand_mel(f, seed=f), seed=0, bucket_frames=16)
@@ -153,33 +158,21 @@ class TestBucketFrames:
     against the padded mel shape (bounded compile count for folders of long
     files), output still trimmed to the true length and equal to the
     unbucketed chunked call outside the pad-conditioning tail window."""
-    from dataclasses import asdict
-    hp = overwrite_custom_hparams(HParams(), parse_custom_hparams(TINY))
-    params = init_params(WaveGlowConfig.from_hparams(hp), seed=0)
-    ckpt = CheckpointWaveglow(state_dict=params, optimizer=None,
-                              learning_rate=hp.learning_rate, iteration=1,
-                              hparams=asdict(hp))
-    synth = Synthesizer(ckpt)
+    from tests.test_serving import _pad_reach_samples
+    synth = fresh_tiny_synth()
     mel = rand_mel(20, seed=5)
     plain = synth.infer(mel, seed=4, denoiser_strength=0.0, chunk_frames=8)
     bucketed = synth.infer(mel, seed=4, denoiser_strength=0.0,
                            chunk_frames=8, bucket_frames=16)
     assert bucketed.wav.shape == plain.wav.shape == (20 * 256,)
-    reach = (synth.config.n_flows * (2 ** synth.config.n_layers - 1)
-             * synth.config.n_group)
+    reach = _pad_reach_samples(synth.config)
     np.testing.assert_allclose(bucketed.wav[:20 * 256 - reach],
                                plain.wav[:20 * 256 - reach], atol=1e-5)
 
   def test_exact_multiple_is_unpadded_program(self):
     """A mel already on the bucket boundary is bit-identical to the
     unbucketed call (no padding happened)."""
-    from dataclasses import asdict
-    hp = overwrite_custom_hparams(HParams(), parse_custom_hparams(TINY))
-    params = init_params(WaveGlowConfig.from_hparams(hp), seed=0)
-    ckpt = CheckpointWaveglow(state_dict=params, optimizer=None,
-                              learning_rate=hp.learning_rate, iteration=1,
-                              hparams=asdict(hp))
-    synth = Synthesizer(ckpt)
+    synth = fresh_tiny_synth()
     mel = rand_mel(16, seed=2)
     plain = synth.infer(mel, seed=3, denoiser_strength=0.0)
     bucketed = synth.infer(mel, seed=3, denoiser_strength=0.0,

@@ -166,10 +166,12 @@ class CheckpointWaveglow:
 def restore_opt_state(leaves: Optional[List[np.ndarray]], optimizer,
                       params: Dict) -> Any:
   """Rebuild an optax state pytree from positional leaves."""
-  template = optimizer.init(params)
   if leaves is None:
-    return template
-  treedef = jax.tree_util.tree_structure(template)
+    return optimizer.init(params)
+  # only the treedef is needed — eval_shape gives it without allocating
+  # a throwaway zeros copy of the full optimizer state
+  treedef = jax.tree_util.tree_structure(
+      jax.eval_shape(optimizer.init, params))
   return jax.tree_util.tree_unflatten(treedef, leaves)
 
 

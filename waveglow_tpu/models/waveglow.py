@@ -31,7 +31,8 @@ import numpy as np
 
 from waveglow_tpu.hparams import HParams
 from waveglow_tpu.models import weightnorm
-from waveglow_tpu.models.wn import init_wn_params, wn_condition, wn_forward
+from waveglow_tpu.models.wn import (abstract_wn_params, init_wn_params,
+                                    wn_condition, wn_forward)
 from waveglow_tpu.ops import inv1x1
 from waveglow_tpu.ops.conv import conv_transpose1d
 
@@ -101,6 +102,40 @@ def init_params(config: WaveGlowConfig, seed: int = 1234,
             kernel_size=config.kernel_size, weight_norm=weight_norm),
     }
     params["flows"].append(flow)
+  return params
+
+
+def abstract_params(config: WaveGlowConfig,
+                    weight_norm: bool = True) -> Dict:
+  """Shape/dtype skeleton of :func:`init_params` — no host allocation.
+
+  The sharded-resume path (training/loop.py) builds its placement template
+  from this instead of materializing the full model per host (~350 MB of
+  random weights for the 12x256 config, plus the RNG work). Kept in lockstep
+  with ``init_params`` by
+  tests/test_model.py::test_abstract_params_matches_init.
+  """
+  cin = config.n_mel_channels
+
+  def leaf(*shape):
+    return jax.ShapeDtypeStruct(shape, np.float32)
+
+  params = {
+      "upsample": {
+          "w": leaf(cin, UPSAMPLE_KERNEL, cin),
+          "b": leaf(cin),
+      },
+      "flows": [],
+  }
+  for channels in config.flow_channel_counts():
+    params["flows"].append({
+        "inv1x1": {"w": leaf(channels, channels)},
+        "wn": abstract_wn_params(
+            n_in_channels=channels // 2,
+            n_mel_channels=config.n_mel_channels * config.n_group,
+            n_layers=config.n_layers, n_channels=config.n_channels,
+            kernel_size=config.kernel_size, weight_norm=weight_norm),
+    })
   return params
 
 

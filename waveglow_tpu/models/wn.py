@@ -82,6 +82,45 @@ def init_wn_params(rng: np.random.Generator, n_in_channels: int,
   return params
 
 
+def abstract_wn_params(n_in_channels: int, n_mel_channels: int,
+                       n_layers: int, n_channels: int, kernel_size: int,
+                       weight_norm: bool = True) -> Dict:
+  """Shape/dtype skeleton of :func:`init_wn_params` — nothing materialized.
+
+  Placement templates (sharded checkpoint restore) only need shapes, dtypes
+  and shardings; building them from ``jax.ShapeDtypeStruct`` leaves avoids
+  allocating the host-side weights that ``init_wn_params`` produces. Kept in
+  lockstep with ``init_wn_params`` by
+  tests/test_model.py::test_abstract_params_matches_init.
+  """
+  def leaf(*shape):
+    return jax.ShapeDtypeStruct(shape, np.float32)
+
+  def conv(w_shape, out_ndim):
+    out_shape = w_shape[-out_ndim:]
+    d = ({"g": leaf(*out_shape), "v": leaf(*w_shape)} if weight_norm
+         else {"w": leaf(*w_shape)})
+    d["b"] = leaf(*out_shape)
+    return d
+
+  c = n_channels
+  return {
+      "start": conv((n_in_channels, c), 1),
+      "cond": conv((n_mel_channels, n_layers, 2, c), 3),
+      "in_layers": [
+          conv((kernel_size, c, 2, c), 2) for _ in range(n_layers)
+      ],
+      "res_skip": [
+          conv((c, 2, c), 2) if i < n_layers - 1 else conv((c, c), 1)
+          for i in range(n_layers)
+      ],
+      "end": {
+          "w": leaf(c, 2 * n_in_channels),
+          "b": leaf(2 * n_in_channels),
+      },
+  }
+
+
 def wn_condition(params: Dict, spect: jnp.ndarray,
                  compute_dtype=None) -> jnp.ndarray:
   """Mel-conditioning projection of one flow: [B, T, M] -> [B, T, L, 2, C].

@@ -183,8 +183,19 @@ def train(custom_hparams: Optional[Dict[str, str]], logdir: Optional[Path],
     # training shardings, each process reading only the shard bytes it owns.
     # No host ever materializes a fully-replicated model or Adam state.
     from waveglow_tpu.checkpointing.orbax_store import restore_sharded
+    from waveglow_tpu.models.waveglow import abstract_params
+    from waveglow_tpu.parallel.sharding import named_shardings, param_pspecs
     iteration = checkpoint.iteration
-    template = shard_params(init_params(config, seed=hparams.seed), mesh)
+    # The placement template is sharded on-device zeros built from the
+    # abstract skeleton: no host materializes the full model (init_params
+    # would allocate ~350 MB of random weights per host at the 12x256
+    # config) and each process allocates only its own shard bytes.
+    skeleton = abstract_params(config)
+    shardings = named_shardings(param_pspecs(skeleton), mesh)
+    template = jax.jit(
+        lambda: jax.tree_util.tree_map(
+            lambda a: jax.numpy.zeros(a.shape, a.dtype), skeleton),
+        out_shardings=shardings)()
     params, opt_state, _ = restore_sharded(checkpoint.path, template,
                                            optimizer)
     logger.info("Resumed iteration %d via sharded orbax restore (%s)",
@@ -210,8 +221,7 @@ def train(custom_hparams: Optional[Dict[str, str]], logdir: Optional[Path],
         checkpoint.optimizer if checkpoint is not None else None,
         optimizer, params)
 
-  state = init_state(params, optimizer, iteration)
-  state["opt_state"] = opt_state
+  state = init_state(params, optimizer, iteration, opt_state=opt_state)
 
   # --- data ---------------------------------------------------------------
   # hparams.batch_size is the GLOBAL batch (reference semantics); each host

@@ -36,10 +36,12 @@ def make_optimizer(learning_rate: float) -> optax.GradientTransformation:
 
 
 def init_state(params: Dict, optimizer: optax.GradientTransformation,
-               iteration: int = 0) -> TrainState:
+               iteration: int = 0, opt_state=None) -> TrainState:
+  """Assemble a train state; ``opt_state`` (e.g. restored from a checkpoint)
+  skips the fresh ``optimizer.init`` allocation."""
   return {
       "params": params,
-      "opt_state": optimizer.init(params),
+      "opt_state": optimizer.init(params) if opt_state is None else opt_state,
       "step": jnp.asarray(iteration, dtype=jnp.int32),
   }
 
