@@ -26,8 +26,10 @@ only the interior samples. TPU-native details:
     compilation-dependent float rounding (the windowed program compiles
     with different shapes/fusions than the full-length program; tests pin
     agreement at atol 1e-5);
-  * the window is carved out with ``lax.dynamic_slice`` inside jit; the mel
-    stays device-resident.
+  * the window is carved out with an eager on-device ``lax.dynamic_slice``
+    OUTSIDE jit, so the compiled program's input shapes depend only on the
+    window size — utterances of any length share one compilation (the mel
+    is placed on the device once per call).
 
 Memory: activations are bounded by the window (~2 MB of cond activations
 per window frame at 12x256), instead of the full utterance.
@@ -106,25 +108,33 @@ def stream_chunks(params, config: WaveGlowConfig, mel: jnp.ndarray, *,
     raise ValueError(f"chunk_frames must be >= 1, got {chunk_frames}")
   if rng is None:
     rng = jax.random.PRNGKey(0)
-  batch, _, total_frames = mel.shape
+  mel = jnp.asarray(mel)  # device-resident once; window slices stay on-device
+  batch, n_mels, total_frames = mel.shape
   if halo_frames is None:
     halo_frames = receptive_halo_frames(config)
   window = chunk_frames + 2 * halo_frames
 
+  dtype_key = None if compute_dtype is None else jnp.dtype(compute_dtype).name
+
   if total_frames <= window:
-    noise = block_noise(rng, config, batch, 0, total_frames)
-    yield 0, infer(params, config, mel, sigma=sigma, noise=noise,
-                   compute_dtype=compute_dtype, scan_flows=scan_flows,
-                   use_pallas=use_pallas)
+    # whole utterance fits one window: run it as a single window-sized
+    # program through the same jit cache (an eager infer here would pay
+    # thousands of per-op dispatches over a tunneled TPU)
+    run_window = _window_fn(config, total_frames, dtype_key, scan_flows,
+                            use_pallas)
+    yield 0, run_window(params, mel, 0, jnp.float32(sigma), rng)
     return
 
-  dtype_key = None if compute_dtype is None else jnp.dtype(compute_dtype).name
   run_window = _window_fn(config, window, dtype_key, scan_flows, use_pallas)
 
   for s in range(0, total_frames, chunk_frames):
     e = min(s + chunk_frames, total_frames)
     a = max(0, min(s - halo_frames, total_frames - window))
-    wav_w = run_window(params, mel, a, jnp.float32(sigma), rng)
+    # the slice happens OUTSIDE jit, so the window program's input shape —
+    # and therefore its one compilation — is independent of the utterance
+    # length; a folder of distinct-length files reuses a single program
+    mel_w = jax.lax.dynamic_slice(mel, (0, 0, a), (batch, n_mels, window))
+    wav_w = run_window(params, mel_w, a, jnp.float32(sigma), rng)
     lo = (s - a) * UPSAMPLE_STRIDE
     yield (s * UPSAMPLE_STRIDE,
            wav_w[:, lo:lo + (e - s) * UPSAMPLE_STRIDE])
@@ -138,10 +148,8 @@ def _window_fn(config: WaveGlowConfig, window: int, dtype_key,
   cdt = None if dtype_key is None else jnp.dtype(dtype_key)
 
   @jax.jit
-  def run_window(params, mel_full, start, sigma, key):
-    batch, n_mels, _ = mel_full.shape
-    mel_w = jax.lax.dynamic_slice(
-        mel_full, (0, 0, start), (batch, n_mels, window))
+  def run_window(params, mel_w, start, sigma, key):
+    batch = mel_w.shape[0]
     noise = block_noise(key, config, batch, start, window)
     return infer(params, config, mel_w, sigma=sigma, noise=noise,
                  compute_dtype=cdt, scan_flows=scan_flows,
