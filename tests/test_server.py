@@ -1,0 +1,157 @@
+"""HTTP serving daemon: endpoint contract, errors, stats, streaming.
+
+Drives a real ThreadingHTTPServer on an ephemeral port with a tiny model —
+the same stack `waveglow-tpu serve` runs — through stdlib urllib clients.
+"""
+
+import io
+import json
+import threading
+import urllib.error
+import urllib.request
+
+import numpy as np
+import pytest
+from scipy.io import wavfile
+
+from tests.test_serving import TINY, rand_mels, tiny_checkpoint
+from waveglow_tpu.inference.server import SynthesisService, make_server
+
+BUCKET = 16
+
+
+@pytest.fixture(scope="module")
+def service():
+  return SynthesisService(tiny_checkpoint(seed=1, perturb_end=True),
+                          bucket_frames=BUCKET)
+
+
+@pytest.fixture(scope="module")
+def base_url(service):
+  httpd = make_server(service, "127.0.0.1", 0)
+  thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+  thread.start()
+  yield f"http://127.0.0.1:{httpd.server_port}"
+  httpd.shutdown()
+  httpd.server_close()
+  thread.join(timeout=10)
+
+
+def _mel_bytes(frames=10, seed=0):
+  buf = io.BytesIO()
+  np.save(buf, rand_mels(1, frames, seed=seed)[0], allow_pickle=False)
+  return buf.getvalue()
+
+
+def _post(url, body):
+  req = urllib.request.Request(url, data=body, method="POST")
+  return urllib.request.urlopen(req, timeout=120)
+
+
+class TestEndpoints:
+
+  def test_healthz(self, base_url):
+    with urllib.request.urlopen(base_url + "/healthz", timeout=30) as r:
+      payload = json.loads(r.read())
+    assert payload["status"] == "ok"
+    assert payload["model"]["n_flows"] == 2  # the TINY config
+    assert payload["serving"]["bucket_frames"] == BUCKET
+
+  def test_synthesize_returns_playable_wav(self, base_url, service):
+    frames = 10
+    with _post(base_url + "/synthesize?seed=3", _mel_bytes(frames)) as r:
+      assert r.headers["Content-Type"] == "audio/wav"
+      sr = int(r.headers["X-Sampling-Rate"])
+      body = r.read()
+    rate, wav = wavfile.read(io.BytesIO(body))
+    assert rate == sr == service.sampling_rate
+    assert wav.dtype == np.int16 and wav.shape == (frames * 256,)
+
+  def test_npy_format_matches_direct_library_call(self, base_url, service):
+    frames = 11
+    url = base_url + "/synthesize?seed=5&format=npy"
+    with _post(url, _mel_bytes(frames, seed=5)) as r:
+      got = np.load(io.BytesIO(r.read()), allow_pickle=False)
+    direct = service.synthesize_mel(rand_mels(1, frames, seed=5)[0], seed=5)
+    np.testing.assert_array_equal(got, direct.wav_denoised.astype(np.float32))
+
+  def test_synthesize_wav_copy_synthesis(self, base_url, service):
+    rng = np.random.default_rng(7)
+    audio = (0.3 * rng.standard_normal(4096)).astype(np.float32)
+    buf = io.BytesIO()
+    wavfile.write(buf, service.sampling_rate,
+                  (audio * 32767).astype(np.int16))
+    with _post(base_url + "/synthesize-wav?seed=2", buf.getvalue()) as r:
+      rate, wav = wavfile.read(io.BytesIO(r.read()))
+    assert rate == service.sampling_rate
+    assert wav.shape[0] > 0
+
+  def test_stream_returns_pcm16_of_full_utterance(self, base_url):
+    frames = 12
+    url = base_url + "/stream?seed=1&chunk_frames=4"
+    with _post(url, _mel_bytes(frames, seed=1)) as r:
+      assert r.headers["X-PCM-Format"] == "s16le"
+      pcm = r.read()
+    samples = np.frombuffer(pcm, dtype="<i2")
+    assert samples.shape == (frames * 256,)
+
+
+class TestErrors:
+
+  def test_garbage_body_is_400(self, base_url):
+    with pytest.raises(urllib.error.HTTPError) as e:
+      _post(base_url + "/synthesize", b"not an npy file")
+    assert e.value.code == 400
+    assert "error" in json.loads(e.value.read())
+
+  def test_wrong_mel_shape_is_400(self, base_url):
+    buf = io.BytesIO()
+    np.save(buf, np.zeros((3, 10), np.float32), allow_pickle=False)
+    with pytest.raises(urllib.error.HTTPError) as e:
+      _post(base_url + "/synthesize", buf.getvalue())
+    assert e.value.code == 400
+    assert "expected mel [80, frames]" in json.loads(e.value.read())["error"]
+
+  def test_wrong_sample_rate_wav_is_400(self, base_url):
+    buf = io.BytesIO()
+    wavfile.write(buf, 16000, np.zeros(1600, np.int16))
+    with pytest.raises(urllib.error.HTTPError) as e:
+      _post(base_url + "/synthesize-wav", buf.getvalue())
+    assert e.value.code == 400
+
+  def test_bad_format_is_400(self, base_url):
+    with pytest.raises(urllib.error.HTTPError) as e:
+      _post(base_url + "/synthesize?format=mp3", _mel_bytes())
+    assert e.value.code == 400
+
+  def test_unknown_path_is_404(self, base_url):
+    with pytest.raises(urllib.error.HTTPError) as e:
+      urllib.request.urlopen(base_url + "/nope", timeout=30)
+    assert e.value.code == 404
+
+
+class TestStats:
+
+  def test_stats_count_requests_and_audio_seconds(self, base_url, service):
+    before = service.snapshot_stats()
+    with _post(base_url + "/synthesize?seed=9", _mel_bytes(10, seed=9)) as r:
+      r.read()
+    after = service.snapshot_stats()
+    assert after["requests"] == before["requests"] + 1
+    assert after["audio_seconds"] > before["audio_seconds"]
+    with urllib.request.urlopen(base_url + "/stats", timeout=30) as r:
+      payload = json.loads(r.read())
+    assert payload["requests"] == after["requests"]
+
+
+class TestBucketingOnServer:
+
+  def test_distinct_lengths_share_one_program(self, base_url, service):
+    """The serving property that matters on a TPU: requests of different
+    lengths inside one bucket reuse a single compiled program."""
+    cache_before = service.synth._infer_keyed._cache_size()
+    for frames, seed in ((9, 1), (13, 2), (16, 3)):
+      with _post(base_url + f"/synthesize?seed={seed}",
+                 _mel_bytes(frames, seed=seed)) as r:
+        r.read()
+    assert service.synth._infer_keyed._cache_size() <= cache_before + 1

@@ -74,6 +74,7 @@ _SUBCOMMANDS = None
 def _subcommands():
   global _SUBCOMMANDS
   if _SUBCOMMANDS is None:
+    from waveglow_tpu.cli.serve_cmd import init_serve_parser
     from waveglow_tpu.cli.synthesis_cmd import (init_synthesis_parser,
                                                 init_synthesis_wav_parser)
     from waveglow_tpu.cli.training_cmd import (init_continue_training_parser,
@@ -92,6 +93,7 @@ def _subcommands():
          "(copy synthesis)", init_synthesis_wav_parser),
         ("benchmark", "measure synthesis/training throughput",
          _init_benchmark_parser),
+        ("serve", "run the HTTP synthesis daemon", init_serve_parser),
     )
   return _SUBCOMMANDS
 

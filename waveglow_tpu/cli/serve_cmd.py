@@ -1,0 +1,67 @@
+"""``serve`` subcommand: run the HTTP synthesis daemon.
+
+Beyond the reference's CLI surface (which only batch-processes folders,
+reference inference_v2.py): a long-lived service keeps the model
+device-resident and its XLA programs compiled across requests — the right
+deployment shape for a TPU vocoder, where a cold Synthesizer construction
+costs ~20-150 s over a tunneled chip (docs/PERFORMANCE.md). See
+waveglow_tpu.inference.server for the endpoint contract.
+"""
+
+from __future__ import annotations
+
+import logging
+from argparse import ArgumentParser, Namespace
+
+from waveglow_tpu.cli.argparse_helpers import (add_denoiser_and_sigma_arguments,
+                                               add_hparams_argument,
+                                               get_optional,
+                                               parse_existing_path,
+                                               parse_non_negative_integer,
+                                               parse_positive_integer)
+from waveglow_tpu.hparams import parse_custom_hparams
+
+logger = logging.getLogger(__name__)
+
+
+def init_serve_parser(parser: ArgumentParser):
+  parser.description = ("Serve mel->wav synthesis over HTTP "
+                        "(POST /synthesize, /synthesize-wav, /stream).")
+  parser.add_argument("checkpoint", metavar="CHECKPOINT",
+                      type=parse_existing_path,
+                      help="checkpoint to serve (.npz, .pt or .orbax)")
+  parser.add_argument("--host", default="127.0.0.1",
+                      help="bind address (0.0.0.0 exposes the service "
+                           "beyond this machine)")
+  parser.add_argument("--port", type=parse_non_negative_integer,
+                      default=8642, help="TCP port (0 = ephemeral)")
+  add_denoiser_and_sigma_arguments(parser)
+  add_hparams_argument(parser)
+  parser.add_argument("--bucket-frames", type=parse_non_negative_integer,
+                      default=64,
+                      help="pad request mels to a multiple of this so "
+                           "arbitrary-length traffic reuses O(buckets) "
+                           "compiled programs; 0 disables (one compile per "
+                           "distinct request length)")
+  parser.add_argument("--chunk-frames",
+                      type=get_optional(parse_positive_integer),
+                      default=None,
+                      help="synthesize in fixed mel windows of this many "
+                           "frames (bounds activation memory for unbounded "
+                           "request lengths)")
+  return _run
+
+
+def _run(ns: Namespace) -> bool:
+  from waveglow_tpu.checkpointing import load_checkpoint_any
+  from waveglow_tpu.inference.server import SynthesisService, serve_forever
+
+  checkpoint = load_checkpoint_any(ns.checkpoint)
+  service = SynthesisService(
+      checkpoint,
+      custom_hparams=parse_custom_hparams(ns.custom_hparams),
+      bucket_frames=ns.bucket_frames, chunk_frames=ns.chunk_frames,
+      sigma=ns.sigma, denoiser_strength=ns.denoiser_strength)
+  logger.info("Model ready; binding %s:%d", ns.host, ns.port)
+  serve_forever(service, ns.host, ns.port)
+  return True

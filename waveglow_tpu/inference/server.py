@@ -1,0 +1,313 @@
+"""HTTP serving daemon: production mel->wav synthesis over the network.
+
+The reference is batch-CLI only (reference inference_v2.py walks a folder);
+a production vocoder is usually deployed as a long-lived service so the
+~320 MB of parameters upload once and every XLA program compiles once. This
+daemon wraps :class:`waveglow_tpu.inference.synthesizer.Synthesizer` with the
+TPU-serving defaults already measured in docs/PERFORMANCE.md:
+
+  * params stay device-resident across requests (Synthesizer construction);
+  * request mels are length-bucketed (``bucket_frames``) so arbitrary-length
+    traffic costs O(distinct buckets) compiles, not O(distinct lengths);
+  * an optional ``chunk_frames`` bounds activation memory for unbounded
+    utterance lengths (waveglow_tpu.inference.streaming);
+  * one lock serializes device work — concurrent HTTP requests queue instead
+    of interleaving programs on the single chip; threads only overlap IO.
+
+Endpoints (JSON errors, application/json):
+
+  GET  /healthz               -> {"status": "ok", model/config summary}
+  GET  /stats                 -> request counters, synthesized audio seconds
+  POST /synthesize            body: .npy mel [n_mels, frames] (float32)
+  POST /synthesize-wav        body: .wav file (copy synthesis)
+  POST /stream                body: .npy mel; response: raw PCM16 chunks
+                              written as they leave the device (first-audio
+                              latency ~36 ms on a v5e instead of the whole
+                              utterance)
+
+Query params for the POST endpoints: ``sigma`` (default 1.0),
+``denoiser_strength`` (default 0.0005), ``seed`` (default 0), and
+``format=wav|npy`` (synthesize* only; wav = int16 RIFF, npy = float32
+samples). Responses carry ``X-Sampling-Rate`` and ``X-Audio-Seconds``.
+
+Run it: ``waveglow-tpu serve CHECKPOINT --port 8642`` (cli/serve_cmd.py).
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import logging
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Dict, Optional
+from urllib.parse import parse_qs, urlparse
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+MAX_BODY_BYTES = 256 * 1024 * 1024
+
+
+class SynthesisService:
+  """Transport-agnostic serving core around one device-resident model."""
+
+  def __init__(self, checkpoint, *, custom_hparams: Optional[Dict] = None,
+               bucket_frames: int = 64, chunk_frames: Optional[int] = None,
+               sigma: float = 1.0, denoiser_strength: float = 0.0005):
+    from waveglow_tpu.dsp.mel import MelSTFT
+    from waveglow_tpu.inference.synthesizer import Synthesizer
+
+    self.synth = Synthesizer(checkpoint, custom_hparams=custom_hparams)
+    self.mel_op = MelSTFT(self.synth.hparams)
+    self.bucket_frames = bucket_frames
+    self.chunk_frames = chunk_frames
+    self.default_sigma = sigma
+    self.default_denoiser_strength = denoiser_strength
+    # one chip, one program at a time: serialize device work so concurrent
+    # requests queue (threads still overlap request parsing / response IO)
+    self._device_lock = threading.Lock()
+    self._stats_lock = threading.Lock()
+    self.started = time.time()
+    self.stats = {"requests": 0, "errors": 0, "audio_seconds": 0.0}
+
+  # -- core operations ------------------------------------------------------
+
+  def synthesize_mel(self, mel: np.ndarray, *, sigma: Optional[float] = None,
+                     denoiser_strength: Optional[float] = None,
+                     seed: int = 0):
+    mel = self._check_mel(mel)
+    with self._device_lock:
+      result = self.synth.infer(
+          mel,
+          sigma=self.default_sigma if sigma is None else sigma,
+          denoiser_strength=(self.default_denoiser_strength
+                             if denoiser_strength is None
+                             else denoiser_strength),
+          seed=seed, bucket_frames=self.bucket_frames or None,
+          chunk_frames=self.chunk_frames)
+    self._count(result.wav.shape[0] / self.sampling_rate)
+    return result
+
+  def synthesize_wav(self, wav: np.ndarray, **kw):
+    """Copy synthesis: wav -> mel -> wav (reference inference_wav.py)."""
+    mel = np.asarray(self.mel_op.get_mel(np.asarray(wav, dtype=np.float32)))
+    return self.synthesize_mel(mel, **kw)
+
+  def stream_mel(self, mel: np.ndarray, *, sigma: Optional[float] = None,
+                 seed: int = 0, chunk_frames: Optional[int] = None):
+    """Yield waveform pieces in time order as they leave the device."""
+    mel = self._check_mel(mel)
+    n = 0.0
+    with self._device_lock:
+      for _, piece in self.synth.stream(
+          mel, sigma=self.default_sigma if sigma is None else sigma,
+          seed=seed, chunk_frames=chunk_frames or self.chunk_frames or 128):
+        n += len(piece) / self.sampling_rate
+        yield piece
+    self._count(n)
+
+  # -- helpers ---------------------------------------------------------------
+
+  @property
+  def sampling_rate(self) -> int:
+    return self.synth.hparams.sampling_rate
+
+  def _check_mel(self, mel: np.ndarray) -> np.ndarray:
+    mel = np.asarray(mel)
+    if mel.ndim == 3 and mel.shape[0] == 1:
+      mel = mel[0]
+    n_mels = self.synth.hparams.n_mel_channels
+    if mel.ndim != 2 or mel.shape[0] != n_mels:
+      raise ValueError(
+          f"expected mel [{n_mels}, frames], got shape {tuple(mel.shape)}")
+    return mel.astype(np.float32)
+
+  def _count(self, audio_seconds: float) -> None:
+    with self._stats_lock:
+      self.stats["requests"] += 1
+      self.stats["audio_seconds"] += audio_seconds
+
+  def health(self) -> Dict:
+    hp = self.synth.hparams
+    return {
+        "status": "ok",
+        "model": {"n_flows": hp.n_flows, "n_channels": hp.n_channels,
+                  "n_layers": hp.n_layers, "n_mel_channels": hp.n_mel_channels,
+                  "sampling_rate": hp.sampling_rate,
+                  "compute_dtype": hp.compute_dtype},
+        "serving": {"bucket_frames": self.bucket_frames,
+                    "chunk_frames": self.chunk_frames},
+    }
+
+  def snapshot_stats(self) -> Dict:
+    with self._stats_lock:
+      out = dict(self.stats)
+    out["uptime_seconds"] = round(time.time() - self.started, 1)
+    out["audio_seconds"] = round(out["audio_seconds"], 3)
+    return out
+
+
+def _wav_bytes(wav: np.ndarray, sampling_rate: int) -> bytes:
+  from scipy.io import wavfile
+
+  from waveglow_tpu.dsp.audio_io import convert_wav
+  buf = io.BytesIO()
+  wavfile.write(buf, sampling_rate, convert_wav(np.asarray(wav), np.int16))
+  return buf.getvalue()
+
+
+def _npy_bytes(arr: np.ndarray) -> bytes:
+  buf = io.BytesIO()
+  np.save(buf, np.asarray(arr, dtype=np.float32), allow_pickle=False)
+  return buf.getvalue()
+
+
+class _Handler(BaseHTTPRequestHandler):
+  # set by make_server
+  service: SynthesisService = None
+  protocol_version = "HTTP/1.1"
+
+  # -- plumbing --------------------------------------------------------------
+
+  def log_message(self, fmt, *args):  # route to logging, not stderr
+    logger.info("%s %s", self.address_string(), fmt % args)
+
+  def _send_json(self, code: int, payload: Dict) -> None:
+    body = json.dumps(payload).encode()
+    self.send_response(code)
+    self.send_header("Content-Type", "application/json")
+    self.send_header("Content-Length", str(len(body)))
+    self.end_headers()
+    self.wfile.write(body)
+
+  def _send_error_json(self, code: int, message: str) -> None:
+    with self.service._stats_lock:
+      self.service.stats["errors"] += 1
+    self._send_json(code, {"error": message})
+
+  def _read_body(self) -> bytes:
+    length = int(self.headers.get("Content-Length", 0))
+    if length <= 0:
+      raise ValueError("empty request body")
+    if length > MAX_BODY_BYTES:
+      raise ValueError(f"request body over {MAX_BODY_BYTES} bytes")
+    return self.rfile.read(length)
+
+  def _query(self):
+    q = parse_qs(urlparse(self.path).query)
+
+    def get(name, cast, default):
+      if name not in q:
+        return default
+      return cast(q[name][0])
+
+    return get
+
+  # -- endpoints --------------------------------------------------------------
+
+  def do_GET(self):
+    route = urlparse(self.path).path
+    if route == "/healthz":
+      self._send_json(200, self.service.health())
+    elif route == "/stats":
+      self._send_json(200, self.service.snapshot_stats())
+    else:
+      self._send_error_json(404, f"unknown path {route}")
+
+  def do_POST(self):
+    route = urlparse(self.path).path
+    try:
+      get = self._query()
+      sigma = get("sigma", float, None)
+      strength = get("denoiser_strength", float, None)
+      seed = get("seed", int, 0)
+      fmt = get("format", str, "wav")
+      if fmt not in ("wav", "npy"):
+        raise ValueError(f"format must be wav or npy, got {fmt!r}")
+      body = self._read_body()
+
+      if route == "/synthesize":
+        mel = np.load(io.BytesIO(body), allow_pickle=False)
+        result = self.service.synthesize_mel(
+            mel, sigma=sigma, denoiser_strength=strength, seed=seed)
+      elif route == "/synthesize-wav":
+        from waveglow_tpu.dsp.audio_io import convert_wav
+        from scipy.io import wavfile
+        rate, wav = wavfile.read(io.BytesIO(body))
+        if rate != self.service.sampling_rate:
+          raise ValueError(f"expected {self.service.sampling_rate} Hz wav, "
+                           f"got {rate}")
+        result = self.service.synthesize_wav(
+            convert_wav(wav, np.float32),
+            sigma=sigma, denoiser_strength=strength, seed=seed)
+      elif route == "/stream":
+        mel = np.load(io.BytesIO(body), allow_pickle=False)
+        self._stream_response(mel, sigma=sigma, seed=seed,
+                              chunk_frames=get("chunk_frames", int, None))
+        return
+      else:
+        self._send_error_json(404, f"unknown path {route}")
+        return
+    except Exception as e:  # noqa: BLE001 — client errors become 400s
+      self._send_error_json(400, f"{type(e).__name__}: {e}")
+      return
+
+    wav = result.wav_denoised
+    payload = (_wav_bytes(wav, self.service.sampling_rate) if fmt == "wav"
+               else _npy_bytes(wav))
+    self.send_response(200)
+    self.send_header("Content-Type", "audio/wav" if fmt == "wav"
+                     else "application/octet-stream")
+    self.send_header("Content-Length", str(len(payload)))
+    self.send_header("X-Sampling-Rate", str(self.service.sampling_rate))
+    self.send_header("X-Audio-Seconds",
+                     f"{wav.shape[0] / self.service.sampling_rate:.3f}")
+    self.end_headers()
+    self.wfile.write(payload)
+
+  def _stream_response(self, mel, *, sigma, seed, chunk_frames):
+    """Raw PCM16 pieces flushed as the device produces them (no denoiser —
+    spectral subtraction needs the whole utterance's STFT)."""
+    from waveglow_tpu.dsp.audio_io import convert_wav
+    pieces = self.service.stream_mel(mel, sigma=sigma, seed=seed,
+                                     chunk_frames=chunk_frames)
+    first = next(pieces)  # raise (-> 400) before committing to a 200
+    self.send_response(200)
+    self.send_header("Content-Type", "application/octet-stream")
+    self.send_header("X-Sampling-Rate", str(self.service.sampling_rate))
+    self.send_header("X-PCM-Format", "s16le")
+    # no Content-Length: the connection closes when the utterance ends
+    self.send_header("Connection", "close")
+    self.end_headers()
+    for piece in _chain_first(first, pieces):
+      self.wfile.write(convert_wav(np.asarray(piece), np.int16).tobytes())
+      self.wfile.flush()
+    self.close_connection = True
+
+
+def _chain_first(first, rest):
+  yield first
+  yield from rest
+
+
+def make_server(service: SynthesisService, host: str = "127.0.0.1",
+                port: int = 0) -> ThreadingHTTPServer:
+  """Bind a ready-to-run server (port 0 = ephemeral; see server_port)."""
+  handler = type("BoundHandler", (_Handler,), {"service": service})
+  return ThreadingHTTPServer((host, port), handler)
+
+
+def serve_forever(service: SynthesisService, host: str, port: int) -> None:
+  import jax
+  httpd = make_server(service, host, port)
+  logger.info("Serving on http://%s:%d (model on %s)", host,
+              httpd.server_port, jax.devices()[0])
+  try:
+    httpd.serve_forever()
+  except KeyboardInterrupt:
+    logger.info("Shutting down")
+  finally:
+    httpd.server_close()
