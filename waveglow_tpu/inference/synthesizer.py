@@ -120,7 +120,11 @@ class Synthesizer:
     section). Noise is position-keyed per absolute mel frame, so
     the kept samples draw the identical noise the unbucketed call would —
     only the trailing receptive-field window sees silence-pad conditioning
-    instead of the conv zero boundary (the deviation is quantified in
+    instead of the conv zero boundary. Measured at full scale on a trained
+    12x256 model: kept samples outside the tail window are BIT-IDENTICAL to
+    the unbucketed program and the tail deviates <1% RMS
+    (docs/PARITY.md bucket-padding section,
+    benchmarks/bucket_deviation_tpu.json; toy-scale bound pinned in
     tests/test_serving.py::test_bucket_padding_deviation_bound).
     """
     timepoint = datetime.datetime.now()
