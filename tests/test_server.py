@@ -155,3 +155,94 @@ class TestBucketingOnServer:
                  _mel_bytes(frames, seed=seed)) as r:
         r.read()
     assert service.synth._infer_keyed._cache_size() <= cache_before + 1
+
+
+class TestClient:
+  """SynthesisClient (stdlib-only) against the live daemon."""
+
+  def test_health_and_stats(self, base_url):
+    from waveglow_tpu.inference.client import SynthesisClient
+    client = SynthesisClient(base_url)
+    assert client.health()["status"] == "ok"
+    assert "requests" in client.stats()
+
+  def test_synthesize_matches_direct_call(self, base_url, service):
+    from waveglow_tpu.inference.client import SynthesisClient
+    client = SynthesisClient(base_url)
+    mel = rand_mels(1, 10, seed=21)[0]
+    wav = client.synthesize(mel, seed=21)
+    direct = service.synthesize_mel(mel, seed=21)
+    np.testing.assert_array_equal(wav,
+                                  direct.wav_denoised.astype(np.float32))
+
+  def test_synthesize_to_wav_bytes_is_riff(self, base_url, service):
+    from waveglow_tpu.inference.client import SynthesisClient
+    client = SynthesisClient(base_url)
+    body = client.synthesize_to_wav_bytes(rand_mels(1, 9, seed=22)[0])
+    rate, wav = wavfile.read(io.BytesIO(body))
+    assert rate == service.sampling_rate and wav.dtype == np.int16
+
+  def test_copy_synthesize(self, base_url, service):
+    from waveglow_tpu.inference.client import SynthesisClient
+    client = SynthesisClient(base_url)
+    rng = np.random.default_rng(23)
+    buf = io.BytesIO()
+    wavfile.write(buf, service.sampling_rate,
+                  (0.2 * rng.standard_normal(4096) * 32767).astype(np.int16))
+    wav = client.copy_synthesize(buf.getvalue(), seed=4)
+    assert wav.dtype == np.float32 and wav.shape[0] > 0
+
+  def test_stream_pieces_reassemble(self, base_url, service):
+    from waveglow_tpu.inference.client import SynthesisClient
+    client = SynthesisClient(base_url)
+    frames = 12
+    mel = rand_mels(1, frames, seed=24)[0]
+    pieces = list(client.stream(mel, seed=24, chunk_frames=4))
+    assert len(pieces) >= 1
+    total = np.concatenate(pieces)
+    assert total.shape == (frames * 256,)
+    # pieces carry real audio: PCM round trip within 1 LSB of the direct
+    # stream output (the server clips int16 responses to [-1, 1] — the toy
+    # model overamplifies, so clip the direct floats the same way)
+    direct = np.concatenate(
+        [p for _, p in service.synth.stream(mel, seed=24, chunk_frames=4)])
+    # bound: 0.5 LSB rounding + the 32767-encode/32768-decode scale gap
+    np.testing.assert_allclose(total, np.clip(direct, -1.0, 1.0),
+                               atol=1.6 / 32768)
+
+
+class TestConcurrency:
+
+  def test_parallel_requests_all_succeed(self, base_url):
+    """Concurrent clients queue on the device lock; every request completes
+    with a well-formed response (no interleaved/torn device programs)."""
+    import concurrent.futures
+
+    def one(seed):
+      with _post(base_url + f"/synthesize?seed={seed}&format=npy",
+                 _mel_bytes(10, seed=seed)) as r:
+        return np.load(io.BytesIO(r.read()), allow_pickle=False)
+
+    with concurrent.futures.ThreadPoolExecutor(max_workers=4) as pool:
+      wavs = list(pool.map(one, range(8)))
+    assert all(w.shape == (10 * 256,) for w in wavs)
+    # same-seed requests are deterministic even under concurrency
+    np.testing.assert_array_equal(one(3), one(3))
+
+
+class TestOveramplification:
+
+  def test_int16_responses_clip_instead_of_wrap(self, base_url, service):
+    """|sample| > 1 must clip to full scale in int16 responses — plain
+    convert_wav WRAPS on overflow (audio turns to noise). The toy model
+    overamplifies, making this observable."""
+    mel = rand_mels(1, 10, seed=31)[0]
+    direct = service.synthesize_mel(mel, seed=31).wav_denoised
+    assert np.abs(direct).max() > 1.0  # precondition: the wrap would happen
+    with _post(base_url + "/synthesize?seed=31", _mel_bytes(10, seed=31)) as r:
+      assert r.headers["X-Overamplified"] == "true"
+      rate, wav = wavfile.read(io.BytesIO(r.read()))
+    # clipped full-scale, not wrapped into the opposite sign
+    peak_idx = int(np.argmax(np.abs(direct)))
+    assert abs(int(wav[peak_idx])) == 32767
+    assert np.sign(wav[peak_idx]) == np.sign(direct[peak_idx])

@@ -1,0 +1,125 @@
+"""Python client for the `waveglow-tpu serve` HTTP daemon.
+
+Stdlib-only (urllib), so any TTS frontend can talk to a remote TPU vocoder
+without depending on jax. Mirrors the daemon's endpoint contract
+(waveglow_tpu.inference.server): synthesize a mel (or copy-synthesize a
+wav) and get float32 samples back, or iterate a low-latency PCM stream.
+
+    client = SynthesisClient("http://tpu-host:8642")
+    client.health()["status"]            # "ok"
+    wav = client.synthesize(mel)         # np.float32 [samples]
+    for piece in client.stream(mel):     # float32 pieces as synthesized
+        play(piece)
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import urllib.parse
+import urllib.request
+from typing import Dict, Iterator, Optional
+
+import numpy as np
+
+DEFAULT_TIMEOUT_S = 600.0
+_STREAM_READ_BYTES = 64 * 1024
+
+
+class SynthesisClient:
+  """Thin blocking client over one daemon base URL."""
+
+  def __init__(self, base_url: str, *, timeout_s: float = DEFAULT_TIMEOUT_S):
+    self.base_url = base_url.rstrip("/")
+    self.timeout_s = timeout_s
+
+  # -- queries ---------------------------------------------------------------
+
+  def health(self) -> Dict:
+    return self._get_json("/healthz")
+
+  def stats(self) -> Dict:
+    return self._get_json("/stats")
+
+  # -- synthesis ---------------------------------------------------------------
+
+  def synthesize(self, mel: np.ndarray, *, sigma: Optional[float] = None,
+                 denoiser_strength: Optional[float] = None,
+                 seed: int = 0) -> np.ndarray:
+    """mel [n_mels, frames] -> float32 waveform [samples] (denoised)."""
+    url = self._url("/synthesize", sigma=sigma,
+                    denoiser_strength=denoiser_strength, seed=seed,
+                    format="npy")
+    with self._post(url, _npy_bytes(mel)) as resp:
+      self._last_sampling_rate = int(resp.headers["X-Sampling-Rate"])
+      return np.load(io.BytesIO(resp.read()), allow_pickle=False)
+
+  def synthesize_to_wav_bytes(self, mel: np.ndarray, *,
+                              sigma: Optional[float] = None,
+                              denoiser_strength: Optional[float] = None,
+                              seed: int = 0) -> bytes:
+    """mel -> int16 RIFF/WAV bytes, ready to write to a .wav file."""
+    url = self._url("/synthesize", sigma=sigma,
+                    denoiser_strength=denoiser_strength, seed=seed,
+                    format="wav")
+    with self._post(url, _npy_bytes(mel)) as resp:
+      return resp.read()
+
+  def copy_synthesize(self, wav_bytes: bytes, *,
+                      sigma: Optional[float] = None,
+                      denoiser_strength: Optional[float] = None,
+                      seed: int = 0) -> np.ndarray:
+    """.wav file bytes -> resynthesized float32 waveform."""
+    url = self._url("/synthesize-wav", sigma=sigma,
+                    denoiser_strength=denoiser_strength, seed=seed,
+                    format="npy")
+    with self._post(url, wav_bytes) as resp:
+      return np.load(io.BytesIO(resp.read()), allow_pickle=False)
+
+  def stream(self, mel: np.ndarray, *, sigma: Optional[float] = None,
+             seed: int = 0,
+             chunk_frames: Optional[int] = None) -> Iterator[np.ndarray]:
+    """Yield float32 waveform pieces as the daemon synthesizes them.
+
+    Pieces concatenate to the full utterance; the first arrives after
+    ~one window of synthesis instead of the whole utterance.
+    """
+    url = self._url("/stream", sigma=sigma, seed=seed,
+                    chunk_frames=chunk_frames)
+    with self._post(url, _npy_bytes(mel)) as resp:
+      assert resp.headers["X-PCM-Format"] == "s16le"
+      carry = b""
+      while True:
+        data = resp.read(_STREAM_READ_BYTES)
+        if not data:
+          break
+        carry += data
+        usable = len(carry) - (len(carry) % 2)
+        if usable:
+          pcm = np.frombuffer(carry[:usable], dtype="<i2")
+          carry = carry[usable:]
+          # int16 -> float32 with the library's convert_wav convention
+          # (divide by -INT16_MIN; see dsp/audio_io.py)
+          yield pcm.astype(np.float32) / 32768.0
+
+  # -- plumbing ----------------------------------------------------------------
+
+  def _url(self, path: str, **params) -> str:
+    q = {k: v for k, v in params.items() if v is not None}
+    query = ("?" + urllib.parse.urlencode(q)) if q else ""
+    return f"{self.base_url}{path}{query}"
+
+  def _post(self, url: str, body: bytes):
+    req = urllib.request.Request(url, data=body, method="POST")
+    return urllib.request.urlopen(req, timeout=self.timeout_s)
+
+  def _get_json(self, path: str) -> Dict:
+    with urllib.request.urlopen(self._url(path),
+                                timeout=self.timeout_s) as resp:
+      return json.loads(resp.read())
+
+
+def _npy_bytes(arr: np.ndarray) -> bytes:
+  buf = io.BytesIO()
+  np.save(buf, np.asarray(arr, dtype=np.float32), allow_pickle=False)
+  return buf.getvalue()

@@ -150,12 +150,19 @@ class SynthesisService:
     return out
 
 
+def _pcm16(wav: np.ndarray) -> np.ndarray:
+  """float -> int16 samples, clipped: convert_wav alone WRAPS on |x| > 1
+  (int16 overflow), which turns an overamplified utterance into noise.
+  Responses carry X-Overamplified so callers can renormalize from the
+  format=npy floats instead."""
+  from waveglow_tpu.dsp.audio_io import convert_wav
+  return convert_wav(np.clip(np.asarray(wav), -1.0, 1.0), np.int16)
+
+
 def _wav_bytes(wav: np.ndarray, sampling_rate: int) -> bytes:
   from scipy.io import wavfile
-
-  from waveglow_tpu.dsp.audio_io import convert_wav
   buf = io.BytesIO()
-  wavfile.write(buf, sampling_rate, convert_wav(np.asarray(wav), np.int16))
+  wavfile.write(buf, sampling_rate, _pcm16(wav))
   return buf.getvalue()
 
 
@@ -265,13 +272,14 @@ class _Handler(BaseHTTPRequestHandler):
     self.send_header("X-Sampling-Rate", str(self.service.sampling_rate))
     self.send_header("X-Audio-Seconds",
                      f"{wav.shape[0] / self.service.sampling_rate:.3f}")
+    self.send_header("X-Overamplified",
+                     "true" if result.was_overamplified else "false")
     self.end_headers()
     self.wfile.write(payload)
 
   def _stream_response(self, mel, *, sigma, seed, chunk_frames):
     """Raw PCM16 pieces flushed as the device produces them (no denoiser —
     spectral subtraction needs the whole utterance's STFT)."""
-    from waveglow_tpu.dsp.audio_io import convert_wav
     pieces = self.service.stream_mel(mel, sigma=sigma, seed=seed,
                                      chunk_frames=chunk_frames)
     first = next(pieces)  # raise (-> 400) before committing to a 200
@@ -283,7 +291,7 @@ class _Handler(BaseHTTPRequestHandler):
     self.send_header("Connection", "close")
     self.end_headers()
     for piece in _chain_first(first, pieces):
-      self.wfile.write(convert_wav(np.asarray(piece), np.int16).tobytes())
+      self.wfile.write(_pcm16(piece).tobytes())
       self.wfile.flush()
     self.close_connection = True
 
