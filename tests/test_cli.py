@@ -41,8 +41,15 @@ class TestParser:
     parser = build_parser()
     text = parser.format_help()
     for cmd in ("download", "train", "continue-train", "validate",
-                "synthesize", "synthesize-wav", "benchmark"):
+                "synthesize", "synthesize-wav", "benchmark", "serve"):
       assert cmd in text
+
+  def test_bare_invocation_prints_help_and_succeeds(self, capsys):
+    """Reference parity: `waveglow-cli` with no command prints help and
+    exits 0 (reference cli.py:143-144; its tox smoke-runs exactly this)."""
+    from waveglow_tpu.cli.main import run
+    assert run([]) == 0
+    assert "usage:" in capsys.readouterr().out
 
   def test_unknown_command_fails(self):
     parser = build_parser()

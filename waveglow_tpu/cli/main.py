@@ -133,8 +133,10 @@ def run(args=None) -> int:
   parser = build_parser()
   ns = parser.parse_args(args)
   if not hasattr(ns, "handler"):
+    # bare invocation prints help and succeeds (reference cli.py:143-144
+    # returns None from parse_args -> exit 0; its tox smoke-runs this)
     parser.print_help()
-    return 2
+    return 0
 
   debug = ns.debug or debug_file_exists()
   configure_root_logger(debug=debug)
