@@ -1,0 +1,114 @@
+"""Measure the serve daemon's request overhead vs the direct library call.
+
+Runs the full-size model behind the real HTTP daemon (in-process thread,
+loopback socket) and times end-to-end request latency for a 9.6 s utterance
+— the number a network caller of `waveglow-tpu serve` actually pays — next
+to the direct Synthesizer.infer wall time. The difference is the HTTP + npy
+serialization overhead. Also times the /stream first-chunk latency.
+
+Prints one JSON line; --save writes it to a benchmarks/ artifact.
+Committed result: benchmarks/server_overhead_tpu.json.
+"""
+
+import argparse
+import io
+import json
+import sys
+import threading
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main():
+  ap = argparse.ArgumentParser()
+  ap.add_argument("--frames", type=int, default=826)
+  ap.add_argument("--iters", type=int, default=7)
+  ap.add_argument("--dtype", default="bfloat16")
+  ap.add_argument("--stream-chunk-frames", type=int, default=128)
+  ap.add_argument("--save", type=Path, default=None)
+  ap.add_argument("--platform", default=None)
+  ap.add_argument("--extra-hparams", default=None,
+                  help="e.g. tiny model for CPU smoke runs")
+  args = ap.parse_args()
+
+  import jax
+  if args.platform:
+    jax.config.update("jax_platforms", args.platform)
+
+  from dataclasses import asdict
+
+  from waveglow_tpu.checkpointing.store import CheckpointWaveglow
+  from waveglow_tpu.hparams import (HParams, overwrite_custom_hparams,
+                                    parse_custom_hparams)
+  from waveglow_tpu.inference.client import SynthesisClient
+  from waveglow_tpu.inference.server import SynthesisService, make_server
+  from waveglow_tpu.models.waveglow import WaveGlowConfig, init_params
+
+  hp = overwrite_custom_hparams(
+      HParams(), {"compute_dtype": args.dtype,
+                  **parse_custom_hparams(args.extra_hparams)})
+  ckpt = CheckpointWaveglow(
+      state_dict=init_params(WaveGlowConfig.from_hparams(hp), seed=0),
+      optimizer=None, learning_rate=hp.learning_rate, iteration=1,
+      hparams=asdict(hp))
+
+  service = SynthesisService(ckpt)
+  httpd = make_server(service, "127.0.0.1", 0)
+  threading.Thread(target=httpd.serve_forever, daemon=True).start()
+  client = SynthesisClient(f"http://127.0.0.1:{httpd.server_port}")
+
+  rng = np.random.default_rng(0)
+  mel = rng.standard_normal((hp.n_mel_channels, args.frames)).astype(
+      np.float32)
+  utt_seconds = args.frames * 256 / hp.sampling_rate
+
+  def p50(fn):
+    fn(0)  # compile / warm
+    lats = []
+    for i in range(args.iters):
+      t0 = time.perf_counter()
+      fn(i + 1)
+      lats.append(time.perf_counter() - t0)
+    return float(np.median(lats))
+
+  # direct library call (denoised, same args the daemon uses)
+  direct = p50(lambda s: service.synthesize_mel(mel, seed=s))
+  # full HTTP round trip, float32 response
+  http_npy = p50(lambda s: client.synthesize(mel, seed=s))
+  # full HTTP round trip, RIFF response (what a file-writing caller gets)
+  http_wav = p50(lambda s: client.synthesize_to_wav_bytes(mel, seed=s))
+  # streaming: time to FIRST audio piece on the client
+  def first_piece(s):
+    gen = client.stream(mel, seed=s, chunk_frames=args.stream_chunk_frames)
+    next(gen)
+    gen.close()
+  stream_first = p50(first_piece)
+
+  result = {
+      "metric": "server_request_latency",
+      "dtype": args.dtype,
+      "frames": args.frames,
+      "utterance_seconds": round(utt_seconds, 3),
+      "platform": jax.devices()[0].platform,
+      "direct_call_s_p50": round(direct, 4),
+      "http_npy_s_p50": round(http_npy, 4),
+      "http_wav_s_p50": round(http_wav, 4),
+      "http_overhead_ms": round((http_npy - direct) * 1e3, 2),
+      "stream_first_audio_s_p50": round(stream_first, 4),
+      "stream_chunk_frames": args.stream_chunk_frames,
+      "realtime_factor_over_http": round(utt_seconds / http_npy, 1),
+  }
+  httpd.shutdown()
+  line = json.dumps(result)
+  print(line)
+  if args.save:
+    args.save.parent.mkdir(parents=True, exist_ok=True)
+    args.save.write_text(line + "\n")
+
+
+if __name__ == "__main__":
+  main()
