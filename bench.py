@@ -139,7 +139,11 @@ def main():
       for i in range(args.latency_iters):
         t0 = time.perf_counter()
         w = infer_fn(params, mel1, jax.random.PRNGKey(100 + i))
-        float(w.sum())  # end-to-end: includes the wav fetch the caller needs
+        # syncs via a 4-byte scalar fetch: this is DEVICE-RESIDENT latency
+        # (mel already on device, waveform left on device). A full serving
+        # request — host mel in, host PCM out, denoised — is measured by
+        # scripts/bench_server.py (benchmarks/server_overhead_tpu.json).
+        float(w.sum())
         lat.append(time.perf_counter() - t0)
       p50 = float(np.median(lat))
       extras["batch1_latency_s_p50"] = round(p50, 4)

@@ -75,8 +75,11 @@ def main():
       lats.append(time.perf_counter() - t0)
     return float(np.median(lats))
 
-  # direct library call (denoised, same args the daemon uses)
-  direct = p50(lambda s: service.synthesize_mel(mel, seed=s))
+  # direct library calls: classic two-fetch InferenceResult path vs the
+  # fused single-fetch path the daemon actually serves from
+  direct_classic = p50(lambda s: service.synthesize_mel(mel, seed=s))
+  direct = p50(lambda s: service.synthesize_mel_packed(mel, seed=s,
+                                                       pcm16=True))
   # full HTTP round trip, float32 response
   http_npy = p50(lambda s: client.synthesize(mel, seed=s))
   # full HTTP round trip, RIFF response (what a file-writing caller gets)
@@ -95,6 +98,7 @@ def main():
       "utterance_seconds": round(utt_seconds, 3),
       "platform": jax.devices()[0].platform,
       "direct_call_s_p50": round(direct, 4),
+      "direct_classic_two_fetch_s_p50": round(direct_classic, 4),
       "http_npy_s_p50": round(http_npy, 4),
       "http_wav_s_p50": round(http_wav, 4),
       "http_overhead_ms": round((http_npy - direct) * 1e3, 2),

@@ -72,8 +72,14 @@ class TestEndpoints:
     url = base_url + "/synthesize?seed=5&format=npy"
     with _post(url, _mel_bytes(frames, seed=5)) as r:
       got = np.load(io.BytesIO(r.read()), allow_pickle=False)
-    direct = service.synthesize_mel(rand_mels(1, frames, seed=5)[0], seed=5)
-    np.testing.assert_array_equal(got, direct.wav_denoised.astype(np.float32))
+    direct = service.synthesize_mel_packed(rand_mels(1, frames, seed=5)[0],
+                                           seed=5)
+    np.testing.assert_array_equal(got, direct.samples.astype(np.float32))
+    # and the packed path returns the same audio as the classic
+    # InferenceResult path (same ops, one fused program)
+    classic = service.synthesize_mel(rand_mels(1, frames, seed=5)[0], seed=5)
+    np.testing.assert_allclose(got, classic.wav_denoised.astype(np.float32),
+                               atol=1e-5)
 
   def test_synthesize_wav_copy_synthesis(self, base_url, service):
     rng = np.random.default_rng(7)
@@ -149,12 +155,12 @@ class TestBucketingOnServer:
   def test_distinct_lengths_share_one_program(self, base_url, service):
     """The serving property that matters on a TPU: requests of different
     lengths inside one bucket reuse a single compiled program."""
-    cache_before = service.synth._infer_keyed._cache_size()
+    cache_before = service.synth._infer_packed._cache_size()
     for frames, seed in ((9, 1), (13, 2), (16, 3)):
       with _post(base_url + f"/synthesize?seed={seed}",
                  _mel_bytes(frames, seed=seed)) as r:
         r.read()
-    assert service.synth._infer_keyed._cache_size() <= cache_before + 1
+    assert service.synth._infer_packed._cache_size() <= cache_before + 1
 
 
 class TestClient:
@@ -171,9 +177,8 @@ class TestClient:
     client = SynthesisClient(base_url)
     mel = rand_mels(1, 10, seed=21)[0]
     wav = client.synthesize(mel, seed=21)
-    direct = service.synthesize_mel(mel, seed=21)
-    np.testing.assert_array_equal(wav,
-                                  direct.wav_denoised.astype(np.float32))
+    direct = service.synthesize_mel_packed(mel, seed=21)
+    np.testing.assert_array_equal(wav, direct.samples.astype(np.float32))
 
   def test_synthesize_to_wav_bytes_is_riff(self, base_url, service):
     from waveglow_tpu.inference.client import SynthesisClient
@@ -246,3 +251,27 @@ class TestOveramplification:
     peak_idx = int(np.argmax(np.abs(direct)))
     assert abs(int(wav[peak_idx])) == 32767
     assert np.sign(wav[peak_idx]) == np.sign(direct[peak_idx])
+
+
+class TestStreamDisconnect:
+
+  def test_disconnect_mid_stream_releases_device(self, base_url, service):
+    """A client hanging up mid-stream must not wedge the daemon: the write
+    loop catches the broken pipe, closes the generator (releasing the
+    device lock it holds), and later requests succeed."""
+    import http.client
+    from urllib.parse import urlparse
+
+    u = urlparse(base_url)
+    conn = http.client.HTTPConnection(u.hostname, u.port, timeout=30)
+    conn.request("POST", "/stream?seed=40&chunk_frames=4",
+                 body=_mel_bytes(24, seed=40))
+    resp = conn.getresponse()
+    resp.read(512)  # start consuming the first chunk...
+    conn.close()    # ...then hang up mid-utterance
+
+    # the daemon recovers: a follow-up request completes normally
+    with _post(base_url + "/synthesize?seed=41&format=npy",
+               _mel_bytes(10, seed=41)) as r:
+      wav = np.load(io.BytesIO(r.read()), allow_pickle=False)
+    assert wav.shape == (10 * 256,)

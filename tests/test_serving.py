@@ -261,3 +261,48 @@ def test_infer_many_padding_deviation_bound():
   np.testing.assert_allclose(bucketed[:cut], solo[:cut], atol=1e-6)
   tail_dev = float(np.abs(bucketed[cut:] - solo[cut:]).max())
   assert tail_dev < 0.5, tail_dev
+
+
+class TestInferServing:
+  """Synthesizer.infer_serving: the fused single-fetch serving path."""
+
+  @pytest.fixture(scope="class")
+  def synth(self):
+    from waveglow_tpu.inference.synthesizer import Synthesizer
+    return Synthesizer(tiny_checkpoint(seed=3, perturb_end=True))
+
+  def test_matches_infer_wav_denoised(self, synth):
+    mel = rand_mels(1, 20, seed=6)[0]
+    classic = synth.infer(mel, seed=5, denoiser_strength=0.0005,
+                          bucket_frames=16)
+    packed = synth.infer_serving(mel, seed=5, denoiser_strength=0.0005,
+                                 bucket_frames=16)
+    assert packed.samples.shape == classic.wav_denoised.shape
+    np.testing.assert_allclose(packed.samples, classic.wav_denoised,
+                               atol=1e-5)
+    assert packed.was_overamplified == classic.was_overamplified
+    assert packed.sampling_rate == classic.sampling_rate
+
+  def test_pcm16_matches_host_conversion(self, synth):
+    from waveglow_tpu.dsp.audio_io import convert_wav
+    mel = rand_mels(1, 20, seed=7)[0]
+    f32 = synth.infer_serving(mel, seed=5, bucket_frames=16)
+    pcm = synth.infer_serving(mel, seed=5, bucket_frames=16, pcm16=True)
+    assert pcm.samples.dtype == np.int16
+    host = convert_wav(np.clip(f32.samples, -1.0, 1.0), np.int16)
+    np.testing.assert_array_equal(pcm.samples, host)
+
+  def test_zero_strength_returns_raw(self, synth):
+    mel = rand_mels(1, 20, seed=8)[0]
+    classic = synth.infer(mel, seed=5, denoiser_strength=0.0,
+                          bucket_frames=16)
+    packed = synth.infer_serving(mel, seed=5, denoiser_strength=0.0,
+                                 bucket_frames=16)
+    np.testing.assert_allclose(packed.samples, classic.wav, atol=1e-5)
+
+  def test_distinct_lengths_share_program(self, synth):
+    before = synth._infer_packed._cache_size()
+    for frames, seed in ((9, 1), (13, 2), (16, 3)):
+      synth.infer_serving(rand_mels(1, frames, seed=seed)[0], seed=seed,
+                          bucket_frames=16)
+    assert synth._infer_packed._cache_size() <= before + 1

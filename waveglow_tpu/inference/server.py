@@ -11,6 +11,10 @@ TPU-serving defaults already measured in docs/PERFORMANCE.md:
     traffic costs O(distinct buckets) compiles, not O(distinct lengths);
   * an optional ``chunk_frames`` bounds activation memory for unbounded
     utterance lengths (waveglow_tpu.inference.streaming);
+  * each request is ONE fused XLA program and ONE device->host fetch
+    (Synthesizer.infer_serving): synthesis + denoise + on-device int16 PCM
+    + the overamp max run fused, and only the denoised waveform — in the
+    representation the response format needs — crosses the tunnel;
   * one lock serializes device work — concurrent HTTP requests queue instead
     of interleaving programs on the single chip; threads only overlap IO.
 
@@ -91,10 +95,44 @@ class SynthesisService:
     self._count(result.wav.shape[0] / self.sampling_rate)
     return result
 
+  def synthesize_mel_packed(self, mel: np.ndarray, *,
+                            sigma: Optional[float] = None,
+                            denoiser_strength: Optional[float] = None,
+                            seed: int = 0, pcm16: bool = False):
+    """Single-fetch request path (Synthesizer.infer_serving): one fused XLA
+    program, one device->host transfer of exactly the representation the
+    response needs (int16 PCM for format=wav, float32 for format=npy)."""
+    mel = self._check_mel(mel)
+    sigma = self.default_sigma if sigma is None else sigma
+    strength = (self.default_denoiser_strength if denoiser_strength is None
+                else denoiser_strength)
+    with self._device_lock:
+      if self.chunk_frames:
+        # constant-memory path: no fused program exists; fall back to the
+        # chunked infer and convert on host
+        from waveglow_tpu.inference.synthesizer import ServingResult
+        result = self.synth.infer(mel, sigma=sigma, denoiser_strength=strength,
+                                  seed=seed, bucket_frames=self.bucket_frames
+                                  or None, chunk_frames=self.chunk_frames)
+        wav = result.wav_denoised
+        out = ServingResult(
+            samples=_pcm16(wav) if pcm16 else np.asarray(wav, np.float32),
+            sampling_rate=result.sampling_rate,
+            duration_s=(result.inference_duration_s
+                        + result.denoising_duration_s),
+            was_overamplified=result.was_overamplified,
+            timepoint=result.timepoint)
+      else:
+        out = self.synth.infer_serving(
+            mel, sigma=sigma, denoiser_strength=strength, seed=seed,
+            bucket_frames=self.bucket_frames or None, pcm16=pcm16)
+    self._count(out.samples.shape[0] / self.sampling_rate)
+    return out
+
   def synthesize_wav(self, wav: np.ndarray, **kw):
     """Copy synthesis: wav -> mel -> wav (reference inference_wav.py)."""
     mel = np.asarray(self.mel_op.get_mel(np.asarray(wav, dtype=np.float32)))
-    return self.synthesize_mel(mel, **kw)
+    return self.synthesize_mel_packed(mel, **kw)
 
   def stream_mel(self, mel: np.ndarray, *, sigma: Optional[float] = None,
                  seed: int = 0, chunk_frames: Optional[int] = None):
@@ -161,8 +199,10 @@ def _pcm16(wav: np.ndarray) -> np.ndarray:
 
 def _wav_bytes(wav: np.ndarray, sampling_rate: int) -> bytes:
   from scipy.io import wavfile
+  wav = np.asarray(wav)
   buf = io.BytesIO()
-  wavfile.write(buf, sampling_rate, _pcm16(wav))
+  wavfile.write(buf, sampling_rate,
+                wav if wav.dtype == np.int16 else _pcm16(wav))
   return buf.getvalue()
 
 
@@ -236,10 +276,12 @@ class _Handler(BaseHTTPRequestHandler):
         raise ValueError(f"format must be wav or npy, got {fmt!r}")
       body = self._read_body()
 
+      pcm16 = fmt == "wav"  # int16 conversion happens on-device
       if route == "/synthesize":
         mel = np.load(io.BytesIO(body), allow_pickle=False)
-        result = self.service.synthesize_mel(
-            mel, sigma=sigma, denoiser_strength=strength, seed=seed)
+        result = self.service.synthesize_mel_packed(
+            mel, sigma=sigma, denoiser_strength=strength, seed=seed,
+            pcm16=pcm16)
       elif route == "/synthesize-wav":
         from waveglow_tpu.dsp.audio_io import convert_wav
         from scipy.io import wavfile
@@ -249,7 +291,7 @@ class _Handler(BaseHTTPRequestHandler):
                            f"got {rate}")
         result = self.service.synthesize_wav(
             convert_wav(wav, np.float32),
-            sigma=sigma, denoiser_strength=strength, seed=seed)
+            sigma=sigma, denoiser_strength=strength, seed=seed, pcm16=pcm16)
       elif route == "/stream":
         mel = np.load(io.BytesIO(body), allow_pickle=False)
         self._stream_response(mel, sigma=sigma, seed=seed,
@@ -262,7 +304,7 @@ class _Handler(BaseHTTPRequestHandler):
       self._send_error_json(400, f"{type(e).__name__}: {e}")
       return
 
-    wav = result.wav_denoised
+    wav = result.samples
     payload = (_wav_bytes(wav, self.service.sampling_rate) if fmt == "wav"
                else _npy_bytes(wav))
     self.send_response(200)
@@ -290,9 +332,16 @@ class _Handler(BaseHTTPRequestHandler):
     # no Content-Length: the connection closes when the utterance ends
     self.send_header("Connection", "close")
     self.end_headers()
-    for piece in _chain_first(first, pieces):
-      self.wfile.write(_pcm16(piece).tobytes())
-      self.wfile.flush()
+    try:
+      for piece in _chain_first(first, pieces):
+        self.wfile.write(_pcm16(piece).tobytes())
+        self.wfile.flush()
+    except (BrokenPipeError, ConnectionResetError):
+      # client hung up mid-utterance: stop synthesizing the remaining
+      # chunks and release the device lock (held by the open generator)
+      logger.info("stream client disconnected early")
+    finally:
+      pieces.close()
     self.close_connection = True
 
 

@@ -50,6 +50,22 @@ class InferenceResult:
   timepoint: datetime.datetime
 
 
+@dataclass
+class ServingResult:
+  """Result of the single-fetch serving path (:meth:`Synthesizer.infer_serving`).
+
+  ``samples`` is the denoised waveform only — float32 in [-1, 1] or int16
+  PCM (``pcm16=True``), already converted on-device. The raw waveform never
+  leaves the device; overamplification is judged from an on-device
+  max(|wav|) scalar instead.
+  """
+  samples: np.ndarray
+  sampling_rate: int
+  duration_s: float
+  was_overamplified: bool
+  timepoint: datetime.datetime
+
+
 class Synthesizer:
 
   def __init__(self, checkpoint: CheckpointWaveglow, *,
@@ -96,6 +112,42 @@ class Synthesizer:
     self._denoise_jit = jax.jit(lambda wav, strength:
                                 self.denoiser(wav, strength))
 
+    # Single-fetch serving programs: synthesis + denoise + on-device PCM16
+    # + overamp max fused into ONE dispatch, so a request pays one program
+    # launch and fetches one waveform-sized buffer instead of two full f32
+    # waveforms plus separate denoise/trim dispatches (the raw waveform
+    # never crosses the tunnel — measured breakdown in docs/PERFORMANCE.md,
+    # serving-latency section).
+    def _packed_outputs(wav, true_n):
+      mask = jnp.arange(wav.shape[-1]) < true_n
+      max_abs = jnp.max(jnp.abs(wav) * mask)
+      return max_abs
+
+    def _pcm16_dev(wav):
+      # mirrors dsp.audio_io.convert_wav(clip(wav), int16): scale by the
+      # int16 max, round half-to-even, truncate-cast
+      return jnp.asarray(jnp.round(jnp.clip(wav, -1.0, 1.0) * 32767.0),
+                         jnp.int16)
+
+    def _infer_packed(params, mel, sigma, key, strength, true_n):
+      wav = infer(params, config, mel, sigma=sigma, rng=key,
+                  compute_dtype=cdt, scan_flows=scan)
+      max_abs = _packed_outputs(wav, true_n)
+      dn = self.denoiser(wav, strength)
+      pad = wav.shape[-1] - dn.shape[-1]
+      if pad > 0:  # iSTFT is frame-aligned; restore the static sample count
+        dn = jnp.pad(dn, ((0, 0), (0, pad)))
+      dn = dn[..., :wav.shape[-1]]
+      return dn, _pcm16_dev(dn), max_abs
+
+    def _infer_packed_raw(params, mel, sigma, key, true_n):
+      wav = infer(params, config, mel, sigma=sigma, rng=key,
+                  compute_dtype=cdt, scan_flows=scan)
+      return wav, _pcm16_dev(wav), _packed_outputs(wav, true_n)
+
+    self._infer_packed = jax.jit(_infer_packed)
+    self._infer_packed_raw = jax.jit(_infer_packed_raw)
+
   def infer(self, mel: np.ndarray, *, sigma: float = 1.0,
             denoiser_strength: float = 0.0005, seed: int = 0,
             noise: Optional[Sequence[np.ndarray]] = None,
@@ -128,26 +180,11 @@ class Synthesizer:
     tests/test_serving.py::test_bucket_padding_deviation_bound).
     """
     timepoint = datetime.datetime.now()
-    mel = jnp.asarray(mel, dtype=jnp.float32)
-    if mel.ndim == 2:
-      mel = mel[None]
-    if mel.ndim != 3 or mel.shape[1] != self.config.n_mel_channels:
-      raise ValueError(
-          f"expected mel of shape [{self.config.n_mel_channels}, frames] "
-          f"(or [1, {self.config.n_mel_channels}, frames]), got "
-          f"{tuple(np.shape(mel))}")
-
-    true_samples = None
-    if bucket_frames is not None and bucket_frames > 0 and noise is None:
-      # composes with chunk_frames: the chunked window program is also traced
-      # against the full mel's (padded) shape, so bucketing bounds its
-      # compile count the same way
-      frames = mel.shape[-1]
-      padded = -(-frames // bucket_frames) * bucket_frames
-      true_samples = frames * UPSAMPLE_STRIDE
-      if padded != frames:
-        mel = jnp.pad(mel, ((0, 0), (0, 0), (0, padded - frames)),
-                      constant_values=float(np.log(CLIP_VAL)))
+    # composes with chunk_frames: the chunked window program is also traced
+    # against the full mel's (padded) shape, so bucketing bounds its
+    # compile count the same way
+    mel, true_samples = self._prepare_mel(
+        mel, bucket_frames if noise is None else None)
 
     sigma_arr = jnp.float32(sigma)
     start = time.perf_counter()
@@ -177,7 +214,7 @@ class Synthesizer:
       wav_denoised.block_until_ready()
       denoising_duration_s = time.perf_counter() - start_dn
 
-    if true_samples is not None and wav.shape[-1] > true_samples:
+    if wav.shape[-1] > true_samples:
       wav = wav[..., :true_samples]
       wav_denoised = wav_denoised[..., :true_samples]
 
@@ -185,6 +222,66 @@ class Synthesizer:
     wav_denoised_np = np.asarray(wav_denoised).squeeze()
     return self._result(wav_np, wav_denoised_np, inference_duration_s,
                         denoising_duration_s, timepoint)
+
+  def _prepare_mel(self, mel, bucket_frames: Optional[int]):
+    """Validate to [1, n_mels, frames]; bucket-pad with the log-clamp
+    silence floor. Returns (mel, true_samples before padding)."""
+    mel = jnp.asarray(mel, dtype=jnp.float32)
+    if mel.ndim == 2:
+      mel = mel[None]
+    if mel.ndim != 3 or mel.shape[1] != self.config.n_mel_channels:
+      raise ValueError(
+          f"expected mel of shape [{self.config.n_mel_channels}, frames] "
+          f"(or [1, {self.config.n_mel_channels}, frames]), got "
+          f"{tuple(np.shape(mel))}")
+    frames = mel.shape[-1]
+    true_samples = frames * UPSAMPLE_STRIDE
+    if bucket_frames is not None and bucket_frames > 0:
+      padded = -(-frames // bucket_frames) * bucket_frames
+      if padded != frames:
+        mel = jnp.pad(mel, ((0, 0), (0, 0), (0, padded - frames)),
+                      constant_values=float(np.log(CLIP_VAL)))
+    return mel, true_samples
+
+  def infer_serving(self, mel: np.ndarray, *, sigma: float = 1.0,
+                    denoiser_strength: float = 0.0005, seed: int = 0,
+                    bucket_frames: Optional[int] = 64,
+                    pcm16: bool = False) -> ServingResult:
+    """Latency-lean mel -> denoised waveform for the serving daemon.
+
+    One fused XLA program (synthesis + denoise + on-device PCM16 conversion
+    + masked max(|wav|) for the overamp flag) and ONE device->host array
+    fetch — the f32 OR int16 denoised waveform, whichever the caller needs.
+    Over a tunneled TPU this is the difference between ~460 ms and ~<150 ms
+    per 9.6 s request (docs/PERFORMANCE.md, serving-latency section): the
+    separate-dispatch :meth:`infer` fetches both full f32 waveforms and
+    launches denoise + trim programs individually. Programs are cached per
+    padded (bucketed) mel length; the padded tail is trimmed on the host
+    after the fetch so no per-length device programs exist at all.
+
+    Output contract: ``samples`` equals :meth:`infer`'s ``wav_denoised``
+    (same bucketing semantics) — int16 mode additionally applies
+    ``convert_wav(clip(wav), int16)`` on-device
+    (tests/test_serving.py::TestInferServing pins both).
+    """
+    timepoint = datetime.datetime.now()
+    mel, true_samples = self._prepare_mel(mel, bucket_frames)
+    start = time.perf_counter()
+    key = jax.random.PRNGKey(seed)
+    if denoiser_strength > 0:
+      dn, pcm, max_abs = self._infer_packed(
+          self.params, mel, jnp.float32(sigma), key,
+          jnp.float32(denoiser_strength), jnp.int32(true_samples))
+    else:
+      dn, pcm, max_abs = self._infer_packed_raw(
+          self.params, mel, jnp.float32(sigma), key, jnp.int32(true_samples))
+    samples = np.asarray(pcm if pcm16 else dn)[0, :true_samples]
+    was_overamplified = bool(np.asarray(max_abs) > 1.0)
+    duration_s = time.perf_counter() - start
+    return ServingResult(
+        samples=samples, sampling_rate=self.hparams.sampling_rate,
+        duration_s=duration_s, was_overamplified=was_overamplified,
+        timepoint=timepoint)
 
   def stream(self, mel: np.ndarray, *, sigma: float = 1.0, seed: int = 0,
              chunk_frames: int = 256):
