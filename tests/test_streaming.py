@@ -157,6 +157,29 @@ class TestStreamChunks:
     np.testing.assert_array_equal(np.concatenate(pieces, axis=1),
                                   np.asarray(whole))
 
+
+  def test_pcm16_pieces_match_host_conversion(self):
+    """pcm16=True converts inside the window program; pieces must equal the
+    host conversion (clip -> scale -> round-half-even -> int16) of the
+    float pieces exactly."""
+    from waveglow_tpu.inference.streaming import stream_chunks
+    from waveglow_tpu.dsp.audio_io import convert_wav
+
+    params = _model(seed=5)
+    rng = np.random.default_rng(5)
+    mel = jnp.asarray(rng.standard_normal((1, 80, 24)).astype(np.float32))
+    key = jax.random.PRNGKey(13)
+
+    f32 = [np.asarray(p) for _, p in
+           stream_chunks(params, CFG, mel, rng=key, chunk_frames=8)]
+    pcm = [np.asarray(p) for _, p in
+           stream_chunks(params, CFG, mel, rng=key, chunk_frames=8,
+                         pcm16=True)]
+    assert all(p.dtype == np.int16 for p in pcm)
+    for f, p in zip(f32, pcm):
+      np.testing.assert_array_equal(
+          p, convert_wav(np.clip(f, -1.0, 1.0), np.int16))
+
   def test_short_input_single_piece(self):
     from waveglow_tpu.inference.streaming import stream_chunks
     params = _model(seed=4)
@@ -184,7 +207,7 @@ class TestProgramReuse:
       out[frames] = np.concatenate([np.asarray(p) for p in pieces], axis=1)
       assert out[frames].shape == (1, frames * 256)
     assert _window_fn.cache_info().currsize == 1
-    run_window = _window_fn(CFG, 8 + 2 * halo, None, False, False)
+    run_window = _window_fn(CFG, 8 + 2 * halo, None, False, False, False)
     assert run_window._cache_size() == 1  # ONE XLA program for both lengths
 
   def test_short_mel_uses_cached_jitted_program(self):
@@ -200,7 +223,7 @@ class TestProgramReuse:
       pieces = list(stream_chunks(params, CFG, mel, chunk_frames=8,
                                   rng=jax.random.PRNGKey(seed)))
       assert len(pieces) == 1 and pieces[0][1].shape == (1, 6 * 256)
-    run_window = _window_fn(CFG, 6, None, False, False)
+    run_window = _window_fn(CFG, 6, None, False, False, False)
     assert run_window._cache_size() == 1
     # and it matches the one-call full infer (same injected noise) up to the
     # documented compilation-dependent rounding

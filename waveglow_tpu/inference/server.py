@@ -135,14 +135,16 @@ class SynthesisService:
     return self.synthesize_mel_packed(mel, **kw)
 
   def stream_mel(self, mel: np.ndarray, *, sigma: Optional[float] = None,
-                 seed: int = 0, chunk_frames: Optional[int] = None):
+                 seed: int = 0, chunk_frames: Optional[int] = None,
+                 pcm16: bool = False):
     """Yield waveform pieces in time order as they leave the device."""
     mel = self._check_mel(mel)
     n = 0.0
     with self._device_lock:
       for _, piece in self.synth.stream(
           mel, sigma=self.default_sigma if sigma is None else sigma,
-          seed=seed, chunk_frames=chunk_frames or self.chunk_frames or 128):
+          seed=seed, chunk_frames=chunk_frames or self.chunk_frames or 128,
+          pcm16=pcm16):
         n += len(piece) / self.sampling_rate
         yield piece
     self._count(n)
@@ -192,9 +194,13 @@ def _pcm16(wav: np.ndarray) -> np.ndarray:
   """float -> int16 samples, clipped: convert_wav alone WRAPS on |x| > 1
   (int16 overflow), which turns an overamplified utterance into noise.
   Responses carry X-Overamplified so callers can renormalize from the
-  format=npy floats instead."""
+  format=npy floats instead. int16 input (already converted on-device by
+  streaming.pcm16_on_device) passes through."""
   from waveglow_tpu.dsp.audio_io import convert_wav
-  return convert_wav(np.clip(np.asarray(wav), -1.0, 1.0), np.int16)
+  wav = np.asarray(wav)
+  if wav.dtype == np.int16:
+    return wav
+  return convert_wav(np.clip(wav, -1.0, 1.0), np.int16)
 
 
 def _wav_bytes(wav: np.ndarray, sampling_rate: int) -> bytes:
@@ -323,7 +329,7 @@ class _Handler(BaseHTTPRequestHandler):
     """Raw PCM16 pieces flushed as the device produces them (no denoiser —
     spectral subtraction needs the whole utterance's STFT)."""
     pieces = self.service.stream_mel(mel, sigma=sigma, seed=seed,
-                                     chunk_frames=chunk_frames)
+                                     chunk_frames=chunk_frames, pcm16=True)
     first = next(pieces)  # raise (-> 400) before committing to a 200
     self.send_response(200)
     self.send_header("Content-Type", "application/octet-stream")

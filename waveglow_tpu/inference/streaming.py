@@ -47,8 +47,16 @@ import jax.numpy as jnp
 from waveglow_tpu.models.waveglow import (UPSAMPLE_KERNEL, UPSAMPLE_STRIDE,
                                           WaveGlowConfig, block_noise, infer)
 
-__all__ = ["block_noise", "infer_chunked", "receptive_halo_frames",
-           "stream_chunks"]
+__all__ = ["block_noise", "infer_chunked", "pcm16_on_device",
+           "receptive_halo_frames", "stream_chunks"]
+
+
+def pcm16_on_device(wav: jnp.ndarray) -> jnp.ndarray:
+  """``convert_wav(clip(wav, -1, 1), int16)`` as XLA ops: scale by the int16
+  max, round half-to-even, cast — so PCM responses leave the device already
+  converted (half the device->host bytes of float32)."""
+  return jnp.asarray(jnp.round(jnp.clip(wav, -1.0, 1.0) * 32767.0),
+                     jnp.int16)
 
 
 def receptive_halo_frames(config: WaveGlowConfig) -> int:
@@ -94,7 +102,7 @@ def stream_chunks(params, config: WaveGlowConfig, mel: jnp.ndarray, *,
                   chunk_frames: int = 256,
                   halo_frames: Optional[int] = None,
                   compute_dtype=None, scan_flows: bool = False,
-                  use_pallas: bool = False
+                  use_pallas: bool = False, pcm16: bool = False
                   ) -> Iterator[Tuple[int, jnp.ndarray]]:
   """Generator form of :func:`infer_chunked` for low-latency serving.
 
@@ -102,7 +110,9 @@ def stream_chunks(params, config: WaveGlowConfig, mel: jnp.ndarray, *,
   each window finishes on-device — a player can start after the first chunk
   (~chunk latency) instead of waiting for the whole utterance. Concatenating
   every piece reproduces :func:`infer_chunked` exactly (same windows, same
-  position-keyed noise).
+  position-keyed noise). ``pcm16=True`` applies :func:`pcm16_on_device`
+  inside the window program, so PCM-streaming responses fetch int16 pieces
+  (half the tunnel bytes, no host conversion on the latency path).
   """
   if chunk_frames < 1:
     raise ValueError(f"chunk_frames must be >= 1, got {chunk_frames}")
@@ -121,11 +131,12 @@ def stream_chunks(params, config: WaveGlowConfig, mel: jnp.ndarray, *,
     # program through the same jit cache (an eager infer here would pay
     # thousands of per-op dispatches over a tunneled TPU)
     run_window = _window_fn(config, total_frames, dtype_key, scan_flows,
-                            use_pallas)
+                            use_pallas, pcm16)
     yield 0, run_window(params, mel, 0, jnp.float32(sigma), rng)
     return
 
-  run_window = _window_fn(config, window, dtype_key, scan_flows, use_pallas)
+  run_window = _window_fn(config, window, dtype_key, scan_flows, use_pallas,
+                          pcm16)
 
   for s in range(0, total_frames, chunk_frames):
     e = min(s + chunk_frames, total_frames)
@@ -142,7 +153,7 @@ def stream_chunks(params, config: WaveGlowConfig, mel: jnp.ndarray, *,
 
 @functools.lru_cache(maxsize=16)
 def _window_fn(config: WaveGlowConfig, window: int, dtype_key,
-               scan_flows: bool, use_pallas: bool):
+               scan_flows: bool, use_pallas: bool, pcm16: bool = False):
   """One jitted fixed-window program, cached so repeated calls (and every
   chunk of every call) reuse a single compilation."""
   cdt = None if dtype_key is None else jnp.dtype(dtype_key)
@@ -151,8 +162,9 @@ def _window_fn(config: WaveGlowConfig, window: int, dtype_key,
   def run_window(params, mel_w, start, sigma, key):
     batch = mel_w.shape[0]
     noise = block_noise(key, config, batch, start, window)
-    return infer(params, config, mel_w, sigma=sigma, noise=noise,
-                 compute_dtype=cdt, scan_flows=scan_flows,
-                 use_pallas=use_pallas)
+    wav = infer(params, config, mel_w, sigma=sigma, noise=noise,
+                compute_dtype=cdt, scan_flows=scan_flows,
+                use_pallas=use_pallas)
+    return pcm16_on_device(wav) if pcm16 else wav
 
   return run_window

@@ -123,11 +123,7 @@ class Synthesizer:
       max_abs = jnp.max(jnp.abs(wav) * mask)
       return max_abs
 
-    def _pcm16_dev(wav):
-      # mirrors dsp.audio_io.convert_wav(clip(wav), int16): scale by the
-      # int16 max, round half-to-even, truncate-cast
-      return jnp.asarray(jnp.round(jnp.clip(wav, -1.0, 1.0) * 32767.0),
-                         jnp.int16)
+    from waveglow_tpu.inference.streaming import pcm16_on_device as _pcm16_dev
 
     def _infer_packed(params, mel, sigma, key, strength, true_n):
       wav = infer(params, config, mel, sigma=sigma, rng=key,
@@ -284,11 +280,13 @@ class Synthesizer:
         timepoint=timepoint)
 
   def stream(self, mel: np.ndarray, *, sigma: float = 1.0, seed: int = 0,
-             chunk_frames: int = 256):
+             chunk_frames: int = 256, pcm16: bool = False):
     """Yield ``(start_sample, wav_piece)`` numpy pairs as synthesis
     progresses — playback can begin after the first chunk instead of the
     whole utterance (no denoising; pieces reassemble to the chunked path's
-    output exactly). See waveglow_tpu.inference.streaming.stream_chunks.
+    output exactly). ``pcm16=True`` converts to int16 PCM inside the window
+    program (half the device->host bytes per piece). See
+    waveglow_tpu.inference.streaming.stream_chunks.
     """
     from waveglow_tpu.inference.streaming import stream_chunks
     mel = jnp.asarray(mel, dtype=jnp.float32)
@@ -297,7 +295,8 @@ class Synthesizer:
     for start, piece in stream_chunks(
         self.params, self.config, mel, sigma=sigma,
         rng=jax.random.PRNGKey(seed), chunk_frames=chunk_frames,
-        compute_dtype=self._cdt, scan_flows=self.hparams.scan_flows):
+        compute_dtype=self._cdt, scan_flows=self.hparams.scan_flows,
+        pcm16=pcm16):
       yield start, np.asarray(piece)[0]
 
   def _result(self, wav_np, wav_denoised_np, inference_duration_s,
