@@ -208,9 +208,12 @@ class TestClient:
     assert total.shape == (frames * 256,)
     # pieces carry real audio: PCM round trip within 1 LSB of the direct
     # stream output (the server clips int16 responses to [-1, 1] — the toy
-    # model overamplifies, so clip the direct floats the same way)
+    # model overamplifies, so clip the direct floats the same way; /stream
+    # denoises by default, so the direct call must too)
     direct = np.concatenate(
-        [p for _, p in service.synth.stream(mel, seed=24, chunk_frames=4)])
+        [p for _, p in service.synth.stream(
+            mel, seed=24, chunk_frames=4,
+            denoiser_strength=service.default_denoiser_strength)])
     # bound: 0.5 LSB rounding + the 32767-encode/32768-decode scale gap
     np.testing.assert_allclose(total, np.clip(direct, -1.0, 1.0),
                                atol=1.6 / 32768)

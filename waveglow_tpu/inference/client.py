@@ -77,14 +77,17 @@ class SynthesisClient:
       return np.load(io.BytesIO(resp.read()), allow_pickle=False)
 
   def stream(self, mel: np.ndarray, *, sigma: Optional[float] = None,
-             seed: int = 0,
+             denoiser_strength: Optional[float] = None, seed: int = 0,
              chunk_frames: Optional[int] = None) -> Iterator[np.ndarray]:
     """Yield float32 waveform pieces as the daemon synthesizes them.
 
-    Pieces concatenate to the full utterance; the first arrives after
-    ~one window of synthesis instead of the whole utterance.
+    Pieces concatenate to the full utterance (denoised by the daemon's
+    default strength unless overridden; ``denoiser_strength=0`` streams
+    raw); the first arrives after ~one window of synthesis instead of the
+    whole utterance.
     """
-    url = self._url("/stream", sigma=sigma, seed=seed,
+    url = self._url("/stream", sigma=sigma,
+                    denoiser_strength=denoiser_strength, seed=seed,
                     chunk_frames=chunk_frames)
     with self._post(url, _npy_bytes(mel)) as resp:
       assert resp.headers["X-PCM-Format"] == "s16le"

@@ -24,10 +24,11 @@ Endpoints (JSON errors, application/json):
   GET  /stats                 -> request counters, synthesized audio seconds
   POST /synthesize            body: .npy mel [n_mels, frames] (float32)
   POST /synthesize-wav        body: .wav file (copy synthesis)
-  POST /stream                body: .npy mel; response: raw PCM16 chunks
+  POST /stream                body: .npy mel; response: PCM16 chunks
                               written as they leave the device (first-audio
                               latency ~36 ms on a v5e instead of the whole
-                              utterance)
+                              utterance), denoised incrementally by default
+                              (denoiser_strength=0 streams raw)
 
 Query params for the POST endpoints: ``sigma`` (default 1.0),
 ``denoiser_strength`` (default 0.0005), ``seed`` (default 0), and
@@ -135,14 +136,24 @@ class SynthesisService:
     return self.synthesize_mel_packed(mel, **kw)
 
   def stream_mel(self, mel: np.ndarray, *, sigma: Optional[float] = None,
-                 seed: int = 0, chunk_frames: Optional[int] = None,
-                 pcm16: bool = False):
-    """Yield waveform pieces in time order as they leave the device."""
+                 denoiser_strength: Optional[float] = None, seed: int = 0,
+                 chunk_frames: Optional[int] = None, pcm16: bool = False):
+    """Yield waveform pieces in time order as they leave the device.
+
+    Like every other synthesis path, streamed audio is denoised by default
+    (reference synthesizer.py:63-66) — incrementally, via the windowed
+    overlap-correct denoiser (waveglow_tpu.inference.stream_denoise), so
+    the reassembled stream matches the non-streamed ``wav_denoised``.
+    Pass ``denoiser_strength=0`` for the raw waveform.
+    """
     mel = self._check_mel(mel)
     n = 0.0
     with self._device_lock:
       for _, piece in self.synth.stream(
           mel, sigma=self.default_sigma if sigma is None else sigma,
+          denoiser_strength=(self.default_denoiser_strength
+                             if denoiser_strength is None
+                             else denoiser_strength),
           seed=seed, chunk_frames=chunk_frames or self.chunk_frames or 128,
           pcm16=pcm16):
         n += len(piece) / self.sampling_rate
@@ -300,7 +311,8 @@ class _Handler(BaseHTTPRequestHandler):
             sigma=sigma, denoiser_strength=strength, seed=seed, pcm16=pcm16)
       elif route == "/stream":
         mel = np.load(io.BytesIO(body), allow_pickle=False)
-        self._stream_response(mel, sigma=sigma, seed=seed,
+        self._stream_response(mel, sigma=sigma, denoiser_strength=strength,
+                              seed=seed,
                               chunk_frames=get("chunk_frames", int, None))
         return
       else:
@@ -325,11 +337,15 @@ class _Handler(BaseHTTPRequestHandler):
     self.end_headers()
     self.wfile.write(payload)
 
-  def _stream_response(self, mel, *, sigma, seed, chunk_frames):
-    """Raw PCM16 pieces flushed as the device produces them (no denoiser —
-    spectral subtraction needs the whole utterance's STFT)."""
-    pieces = self.service.stream_mel(mel, sigma=sigma, seed=seed,
-                                     chunk_frames=chunk_frames, pcm16=True)
+  def _stream_response(self, mel, *, sigma, denoiser_strength, seed,
+                       chunk_frames):
+    """Denoised PCM16 pieces flushed as the device produces them (bias
+    removal runs incrementally via the windowed streaming denoiser;
+    ``denoiser_strength=0`` streams the raw waveform)."""
+    pieces = self.service.stream_mel(mel, sigma=sigma,
+                                     denoiser_strength=denoiser_strength,
+                                     seed=seed, chunk_frames=chunk_frames,
+                                     pcm16=True)
     first = next(pieces)  # raise (-> 400) before committing to a 200
     self.send_response(200)
     self.send_header("Content-Type", "application/octet-stream")

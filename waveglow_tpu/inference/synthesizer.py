@@ -280,24 +280,58 @@ class Synthesizer:
         timepoint=timepoint)
 
   def stream(self, mel: np.ndarray, *, sigma: float = 1.0, seed: int = 0,
-             chunk_frames: int = 256, pcm16: bool = False):
+             chunk_frames: int = 256, pcm16: bool = False,
+             denoiser_strength: float = 0.0):
     """Yield ``(start_sample, wav_piece)`` numpy pairs as synthesis
     progresses — playback can begin after the first chunk instead of the
-    whole utterance (no denoising; pieces reassemble to the chunked path's
-    output exactly). ``pcm16=True`` converts to int16 PCM inside the window
-    program (half the device->host bytes per piece). See
+    whole utterance. ``pcm16=True`` converts to int16 PCM inside the
+    window program (half the device->host bytes per piece). See
     waveglow_tpu.inference.streaming.stream_chunks.
+
+    ``denoiser_strength > 0`` applies the reference's spectral-subtraction
+    bias removal (reference synthesizer.py:63-66) incrementally: raw
+    synthesis chunks feed a windowed overlap-correct denoiser
+    (waveglow_tpu.inference.stream_denoise) whose emitted pieces
+    reassemble to :meth:`infer`'s ``wav_denoised`` (the denoised stream
+    lags the raw one by < filter_length samples, ~46 ms; its total length
+    is the iSTFT's frame-aligned truncation of the raw length). Without
+    denoising, pieces reassemble to the chunked path's output exactly.
     """
     from waveglow_tpu.inference.streaming import stream_chunks
     mel = jnp.asarray(mel, dtype=jnp.float32)
     if mel.ndim == 2:
       mel = mel[None]
-    for start, piece in stream_chunks(
+    denoise = denoiser_strength is not None and denoiser_strength > 0
+    gen = stream_chunks(
         self.params, self.config, mel, sigma=sigma,
         rng=jax.random.PRNGKey(seed), chunk_frames=chunk_frames,
         compute_dtype=self._cdt, scan_flows=self.hparams.scan_flows,
-        pcm16=pcm16):
-      yield start, np.asarray(piece)[0]
+        pcm16=pcm16 and not denoise)
+    if not denoise:
+      for start, piece in gen:
+        yield start, np.asarray(piece)[0]
+      return
+
+    from waveglow_tpu.inference.stream_denoise import StreamingDenoiser
+    stft = self.denoiser.stft
+    edge = stft.filter_length - stft.hop_length
+    # one denoise block per synthesis chunk: block k becomes computable the
+    # moment raw piece k arrives, so denoising never delays the first-audio
+    # latency by more than one small window program. Block 0's window is
+    # left-clamped to position 0 and needs E + 2*edge - half raw samples,
+    # the binding constraint: E = piece - 2*edge + half (every later block
+    # then needs (k+1)E + edge <= (k+1)*piece).
+    block = max(stft.hop_length,
+                (chunk_frames * UPSAMPLE_STRIDE - 2 * edge
+                 + stft.filter_length // 2)
+                // stft.hop_length * stft.hop_length)
+    sd = StreamingDenoiser(self.denoiser, denoiser_strength,
+                           block_samples=block, pcm16=pcm16)
+    for _, piece in gen:
+      for out_start, out in sd.push(np.asarray(piece)[0]):
+        yield out_start, out
+    for out_start, out in sd.flush():
+      yield out_start, out
 
   def _result(self, wav_np, wav_denoised_np, inference_duration_s,
               denoising_duration_s, timepoint) -> InferenceResult:
