@@ -33,6 +33,10 @@ def main():
   ap.add_argument("--platform", default=None)
   ap.add_argument("--extra-hparams", default=None,
                   help="e.g. tiny model for CPU smoke runs")
+  ap.add_argument("--clients", type=int, default=8,
+                  help="concurrent clients for the micro-batch section")
+  ap.add_argument("--per-client", type=int, default=3)
+  ap.add_argument("--skip-concurrency", action="store_true")
   args = ap.parse_args()
 
   import jax
@@ -84,12 +88,65 @@ def main():
   http_npy = p50(lambda s: client.synthesize(mel, seed=s))
   # full HTTP round trip, RIFF response (what a file-writing caller gets)
   http_wav = p50(lambda s: client.synthesize_to_wav_bytes(mel, seed=s))
-  # streaming: time to FIRST audio piece on the client
-  def first_piece(s):
+  # streaming: time to FIRST audio piece on the client (the generator is
+  # then drained — abandoning it mid-stream leaves the server synthesizing
+  # chunks that would delay the NEXT request and skew its measurement)
+  def stream_lat(s):
+    t0 = time.perf_counter()
     gen = client.stream(mel, seed=s, chunk_frames=args.stream_chunk_frames)
     next(gen)
-    gen.close()
-  stream_first = p50(first_piece)
+    lat = time.perf_counter() - t0
+    for _ in gen:
+      pass
+    return lat
+
+  stream_lat(0)  # compile / warm
+  stream_first = float(np.median([stream_lat(i + 1)
+                                  for i in range(args.iters)]))
+
+  if not args.skip_concurrency:
+    # -- concurrent load: micro-batched vs serialized batch-1 ---------------
+    # N clients hammer /synthesize simultaneously. With the micro-batcher
+    # (default), requests arriving while the device is busy dispatch as one
+    # fused batched program; with the batcher disabled they serialize on
+    # the device lock at batch-1 throughput.
+    import concurrent.futures
+
+    def hammer(tag):
+      barrier = threading.Barrier(args.clients)
+
+      def worker(c):
+        barrier.wait()
+        for i in range(args.per_client):
+          client.synthesize(mel, seed=c * 100 + i + hash(tag) % 97)
+
+      with concurrent.futures.ThreadPoolExecutor(args.clients) as pool:
+        t0 = time.perf_counter()
+        list(pool.map(worker, range(args.clients)))
+        wall = time.perf_counter() - t0
+      total_audio = args.clients * args.per_client * utt_seconds
+      return total_audio / wall
+
+    # compile every pow2 batched program a racing drain can produce, so no
+    # XLA compile lands inside the measured wall time
+    b = 2
+    while b <= min(args.clients, service.max_batch):
+      service.synth.infer_serving_many([mel] * b, seeds=list(range(b)),
+                                       bucket_frames=service.bucket_frames)
+      b *= 2
+    hammer("warm-batched")
+    concurrent_batched = hammer("batched")
+    batched_stats = {k: service.stats[k] for k in ("batches",
+                                                   "batched_requests")}
+    saved_batcher, service._batcher = service._batcher, None
+    try:
+      hammer("warm-serial")
+      concurrent_serialized = hammer("serialized")
+    finally:
+      service._batcher = saved_batcher
+  else:
+    concurrent_batched = concurrent_serialized = None
+    batched_stats = {}
 
   result = {
       "metric": "server_request_latency",
@@ -106,6 +163,17 @@ def main():
       "stream_chunk_frames": args.stream_chunk_frames,
       "realtime_factor_over_http": round(utt_seconds / http_npy, 1),
   }
+  if concurrent_batched is not None:
+    result.update({
+        "concurrent_clients": args.clients,
+        "requests_per_client": args.per_client,
+        "concurrent_batched_audio_sec_per_s": round(concurrent_batched, 1),
+        "concurrent_serialized_audio_sec_per_s": round(
+            concurrent_serialized, 1),
+        "microbatch_speedup": round(
+            concurrent_batched / concurrent_serialized, 2),
+        "microbatch_stats": batched_stats,
+    })
   httpd.shutdown()
   line = json.dumps(result)
   print(line)

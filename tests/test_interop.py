@@ -251,3 +251,100 @@ class TestDownloadCommand:
       assert dest.read_bytes() == payload
     finally:
       httpd.shutdown()
+
+
+class TestAdamStateImport:
+  """torch_adam_to_opt_leaves: elementwise moments ride the exact weight
+  layout transform, land on optax.ScaleByAdamState, and degrade to a fresh
+  optimizer (None) on any structural mismatch."""
+
+  def _fake_adam_sd(self, sd, step=7):
+    # exp_avg := the parameter itself, exp_avg_sq := its square — after the
+    # layout mapping, mu must equal params and nu their squares leafwise
+    state = {i: {"step": torch.tensor(float(step)),
+                 "exp_avg": v.clone().float(),
+                 "exp_avg_sq": (v.clone().float() ** 2)}
+             for i, (k, v) in enumerate(sd.items())}
+    return {"state": state,
+            "param_groups": [{"params": list(range(len(sd)))}]}
+
+  def test_moments_ride_the_weight_mapping(self):
+    import jax
+
+    from waveglow_tpu.checkpointing.import_torch import \
+        torch_adam_to_opt_leaves
+    from waveglow_tpu.checkpointing.store import restore_opt_state
+    from waveglow_tpu.training.step import make_optimizer
+
+    ckpt, config, hp = native_checkpoint(seed=5)
+    sd = {k: torch.from_numpy(np.asarray(v))
+          for k, v in params_to_state_dict(ckpt.state_dict).items()}
+    leaves = torch_adam_to_opt_leaves(self._fake_adam_sd(sd, step=7), sd, hp)
+    assert leaves is not None
+
+    opt_state = restore_opt_state(leaves, make_optimizer(1e-4),
+                                  ckpt.state_dict)
+    adam = opt_state[0]  # ScaleByAdamState(count, mu, nu)
+    assert int(adam.count) == 7
+    p_leaves = jax.tree_util.tree_leaves(ckpt.state_dict)
+    for p, m, v in zip(p_leaves, jax.tree_util.tree_leaves(adam.mu),
+                       jax.tree_util.tree_leaves(adam.nu)):
+      np.testing.assert_array_equal(np.asarray(m), np.asarray(p))
+      np.testing.assert_allclose(np.asarray(v), np.asarray(p) ** 2,
+                                 rtol=1e-6)
+
+  def test_missing_state_falls_back_to_none(self):
+    from waveglow_tpu.checkpointing.import_torch import \
+        torch_adam_to_opt_leaves
+
+    ckpt, config, hp = native_checkpoint(seed=6)
+    sd = {k: torch.from_numpy(np.asarray(v))
+          for k, v in params_to_state_dict(ckpt.state_dict).items()}
+    full = self._fake_adam_sd(sd)
+
+    assert torch_adam_to_opt_leaves({}, sd, hp) is None
+    assert torch_adam_to_opt_leaves({"state": {}, "param_groups": []},
+                                    sd, hp) is None
+    partial = {"state": dict(list(full["state"].items())[:-1]),
+               "param_groups": full["param_groups"]}
+    assert torch_adam_to_opt_leaves(partial, sd, hp) is None
+    # count mismatch (an extra torch param the state dict doesn't know)
+    extra = {"state": full["state"],
+             "param_groups": [{"params": list(range(len(sd) + 1))}]}
+    assert torch_adam_to_opt_leaves(extra, sd, hp) is None
+
+  def test_shape_mismatch_falls_back_to_none(self):
+    from waveglow_tpu.checkpointing.import_torch import \
+        torch_adam_to_opt_leaves
+
+    ckpt, config, hp = native_checkpoint(seed=7)
+    sd = {k: torch.from_numpy(np.asarray(v))
+          for k, v in params_to_state_dict(ckpt.state_dict).items()}
+    bad = self._fake_adam_sd(sd)
+    first = next(iter(bad["state"]))
+    bad["state"][first]["exp_avg"] = torch.zeros(3, 3)
+    assert torch_adam_to_opt_leaves(bad, sd, hp) is None
+
+  def test_roundtrip_through_checkpoint_file(self, tmp_path):
+    """A reference-format .pt with Adam state imports with optimizer leaves
+    and survives the native npz save/load roundtrip."""
+    from dataclasses import asdict
+
+    from waveglow_tpu.checkpointing import load_checkpoint_any
+
+    ckpt, config, hp = native_checkpoint(seed=8)
+    sd = {k: torch.from_numpy(np.asarray(v))
+          for k, v in params_to_state_dict(ckpt.state_dict).items()}
+    path = tmp_path / "with_adam.pt"
+    torch.save({"state_dict": sd, "optimizer": self._fake_adam_sd(sd, 11),
+                "learning_rate": 1e-4, "iteration": 11,
+                "hparams": asdict(hp)}, str(path))
+    imported = load_torch_checkpoint(path)
+    assert imported.optimizer is not None
+    native_path = tmp_path / "native.npz"
+    imported.save(native_path)
+    back = load_checkpoint_any(native_path)
+    assert back.optimizer is not None
+    assert len(back.optimizer) == len(imported.optimizer)
+    for a, b in zip(imported.optimizer, back.optimizer):
+      np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -463,3 +463,82 @@ class TestTrainingTrajectoryParity:
       assert mine == pytest.approx(theirs, rel=1e-3)
     # the trajectory must actually move (guard against vacuous comparison)
     assert abs(ref_losses[-1] - ref_losses[0]) > 1e-4
+
+  def test_continue_from_imported_checkpoint_resumes_adam(self, tmp_path):
+    """continue-train from a reference torch checkpoint resumes Adam
+    momentum (reference train.py:241-250, checkpoint.py:13-21): 3 torch
+    warmup steps build real moments, the reference-format checkpoint is
+    imported, and 3 MORE steps on each side must track — they only can if
+    exp_avg/exp_avg_sq/step landed correctly on the optax state (a
+    restarted Adam takes visibly different steps from zero moments)."""
+    import optax
+    from dataclasses import asdict
+
+    import jax
+
+    from waveglow_tpu.checkpointing.import_torch import load_torch_checkpoint
+    from waveglow_tpu.checkpointing.store import restore_opt_state
+    from waveglow_tpu.training.step import make_optimizer
+
+    model, _, config, hp = make_pair(seed=9)
+    mel, audio = rand_mel_audio(frames=6, seed=9)
+    lr, sigma = 1e-3, 1.0
+
+    criterion = ref.train.WaveGlowLoss(sigma=sigma)
+    opt = torch.optim.Adam(model.parameters(), lr=lr)
+
+    def torch_step():
+      opt.zero_grad()
+      out = model((torch.from_numpy(mel), torch.from_numpy(audio)))
+      loss = criterion(out, None)
+      loss.backward()
+      opt.step()
+      return float(loss)
+
+    for _ in range(3):  # warmup: build real momentum
+      torch_step()
+
+    # the reference's own checkpoint payload (checkpoint.py:13-21)
+    path = tmp_path / "ref_ckpt.pt"
+    torch.save({"state_dict": model.state_dict(),
+                "optimizer": opt.state_dict(), "learning_rate": lr,
+                "iteration": 3, "hparams": asdict(hp)}, str(path))
+
+    imported = load_torch_checkpoint(path)
+    assert imported.optimizer is not None, "Adam state was not imported"
+
+    ref_losses = [torch_step() for _ in range(3)]
+
+    # native: params AND optimizer state from the imported checkpoint
+    optimizer = make_optimizer(lr)
+    params = imported.state_dict
+    opt_state = restore_opt_state(imported.optimizer, optimizer, params)
+    assert int(jax.tree_util.tree_leaves(opt_state)[0]) == 3  # Adam count
+
+    def loss_fn(p):
+      z, log_s, log_det = forward(p, config, jnp.asarray(mel),
+                                  jnp.asarray(audio))
+      return waveglow_loss(z, log_s, log_det, sigma)
+
+    loss_grad = jax.jit(jax.value_and_grad(loss_fn))
+    my_losses = []
+    for _ in range(3):
+      loss, grads = loss_grad(params)
+      my_losses.append(float(loss))
+      updates, opt_state = optimizer.update(grads, opt_state, params)
+      params = optax.apply_updates(params, updates)
+
+    for mine, theirs in zip(my_losses, ref_losses):
+      assert mine == pytest.approx(theirs, rel=1e-3)
+    assert abs(ref_losses[-1] - ref_losses[0]) > 1e-4
+
+    # the moments really carried over: a zero-moment restart diverges from
+    # the reference trajectory where the resumed one tracks it
+    fresh_state = optimizer.init(imported.state_dict)
+    p2 = imported.state_dict
+    loss2, grads2 = loss_grad(p2)
+    updates2, fresh_state = optimizer.update(grads2, fresh_state, p2)
+    p2 = optax.apply_updates(p2, updates2)
+    restart_loss2 = float(loss_grad(p2)[0])
+    assert abs(restart_loss2 - ref_losses[1]) > \
+        3 * abs(my_losses[1] - ref_losses[1])

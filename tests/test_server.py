@@ -238,6 +238,51 @@ class TestConcurrency:
     np.testing.assert_array_equal(one(3), one(3))
 
 
+class TestMicroBatching:
+
+  def test_requests_arriving_while_busy_batch_together(self, base_url,
+                                                       service):
+    """Requests that queue up behind a busy device dispatch as ONE batched
+    program (stats count them), and every response matches the solo
+    serving path for its seed at the micro-batch rounding bound."""
+    import concurrent.futures
+    import time as _time
+
+    def one(seed):
+      with _post(base_url + f"/synthesize?seed={seed}&format=npy",
+                 _mel_bytes(10, seed=seed)) as r:
+        return np.load(io.BytesIO(r.read()), allow_pickle=False)
+
+    before = service.snapshot_stats()
+    pool = concurrent.futures.ThreadPoolExecutor(max_workers=6)
+    service._device_lock.acquire()  # hold the device: arrivals accumulate
+    try:
+      futs = [pool.submit(one, seed) for seed in range(6)]
+      _time.sleep(0.8)  # let every request enqueue behind the busy device
+    finally:
+      service._device_lock.release()
+    wavs = [f.result(timeout=120) for f in futs]
+    pool.shutdown()
+
+    after = service.snapshot_stats()
+    assert after["batched_requests"] - before["batched_requests"] >= 2
+    assert after["batches"] - before["batches"] >= 1
+    for seed, wav in enumerate(wavs):
+      solo = service.synth.infer_serving(rand_mels(1, 10, seed=seed)[0],
+                                         seed=seed, bucket_frames=BUCKET)
+      np.testing.assert_allclose(wav, solo.samples, atol=1e-5)
+
+  def test_solo_request_keeps_exact_batch1_contract(self, base_url, service):
+    """An uncontended request dispatches immediately through the batch-1
+    program — bit-identical to infer_serving."""
+    with _post(base_url + "/synthesize?seed=17&format=npy",
+               _mel_bytes(10, seed=17)) as r:
+      wav = np.load(io.BytesIO(r.read()), allow_pickle=False)
+    solo = service.synth.infer_serving(rand_mels(1, 10, seed=17)[0],
+                                       seed=17, bucket_frames=BUCKET)
+    np.testing.assert_array_equal(wav, solo.samples)
+
+
 class TestOveramplification:
 
   def test_int16_responses_clip_instead_of_wrap(self, base_url, service):

@@ -306,3 +306,71 @@ class TestInferServing:
       synth.infer_serving(rand_mels(1, frames, seed=seed)[0], seed=seed,
                           bucket_frames=16)
     assert synth._infer_packed._cache_size() <= before + 1
+
+
+class TestInferServingMany:
+  """Synthesizer.infer_serving_many: the micro-batched serving path."""
+
+  @pytest.fixture(scope="class")
+  def synth(self):
+    from waveglow_tpu.inference.synthesizer import Synthesizer
+    return Synthesizer(tiny_checkpoint(seed=3, perturb_end=True))
+
+  def test_rows_match_solo_serving(self, synth):
+    """Each batched row draws its noise through the batch-1 derivation, so
+    it matches infer_serving for the same seed up to compile rounding —
+    a request's audio must not depend on what it was co-batched with."""
+    mels = [rand_mels(1, f, seed=f)[0] for f in (9, 13, 12)]
+    seeds = [11, 22, 33]
+    batched = synth.infer_serving_many(mels, seeds=seeds, bucket_frames=16,
+                                       denoiser_strength=0.0005)
+    for mel, seed, res in zip(mels, seeds, batched):
+      solo = synth.infer_serving(mel, seed=seed, bucket_frames=16,
+                                 denoiser_strength=0.0005)
+      assert res.samples.shape == solo.samples.shape
+      np.testing.assert_allclose(res.samples, solo.samples, atol=1e-5)
+      assert res.was_overamplified == solo.was_overamplified
+
+  def test_distinct_seeds_distinct_audio(self, synth):
+    mels = [rand_mels(1, 12, seed=1)[0]] * 2
+    a, b = synth.infer_serving_many(mels, seeds=[5, 6], bucket_frames=16)
+    assert np.abs(a.samples - b.samples).max() > 1e-3
+
+  def test_batch_padding_rows_dropped(self, synth):
+    """3 requests pad to a 4-row program; outputs are per-request."""
+    mels = [rand_mels(1, 12, seed=s)[0] for s in (1, 2, 3)]
+    out = synth.infer_serving_many(mels, seeds=[1, 2, 3], bucket_frames=16)
+    assert len(out) == 3
+    for res in out:
+      assert res.samples.shape == (12 * 256,)
+
+  def test_zero_strength_raw(self, synth):
+    mels = [rand_mels(1, 12, seed=4)[0]] * 2
+    batched = synth.infer_serving_many(mels, seeds=[7, 8], bucket_frames=16,
+                                       denoiser_strength=0.0)
+    solo = synth.infer_serving(mels[0], seed=7, bucket_frames=16,
+                               denoiser_strength=0.0)
+    np.testing.assert_allclose(batched[0].samples, solo.samples, atol=1e-5)
+
+  def test_pcm16(self, synth):
+    from waveglow_tpu.dsp.audio_io import convert_wav
+    mels = [rand_mels(1, 12, seed=5)[0]] * 2
+    f = synth.infer_serving_many(mels, seeds=[1, 2], bucket_frames=16)
+    p = synth.infer_serving_many(mels, seeds=[1, 2], bucket_frames=16,
+                                 pcm16=True)
+    for ff, pp in zip(f, p):
+      assert pp.samples.dtype == np.int16
+      np.testing.assert_array_equal(
+          pp.samples, convert_wav(np.clip(ff.samples, -1, 1), np.int16))
+
+  def test_mixed_lengths_grouped_by_bucket(self, synth):
+    """Distinct buckets dispatch separately; results keep request order."""
+    mels = [rand_mels(1, f, seed=f)[0] for f in (9, 40, 12, 35)]
+    out = synth.infer_serving_many(mels, seeds=[0, 1, 2, 3],
+                                   bucket_frames=16)
+    for mel, res in zip(mels, out):
+      assert res.samples.shape == (mel.shape[-1] * 256,)
+
+  def test_seed_count_mismatch_rejected(self, synth):
+    with pytest.raises(ValueError):
+      synth.infer_serving_many([rand_mels(1, 12)[0]], seeds=[1, 2])

@@ -23,22 +23,32 @@ Weight-layout mapping (torch -> native, see waveglow_tpu.models.wn):
 torch packs gate channels as [tanh C; sigmoid C] blocks and cond layers
 layer-major (model.py:124-126) — both become explicit axes here via reshape.
 
-The torch Adam ``optimizer`` state is NOT mapped onto optax (structural
-mismatch); imported checkpoints restart the optimizer, mirroring the
-reference's warm-start semantics (train.py:85-90).
+The torch Adam ``optimizer`` state maps onto optax: ``exp_avg``/``exp_avg_sq``
+are per-parameter elementwise moments, so each goes through the SAME layout
+transform as its weight and lands on ``optax.ScaleByAdamState(count, mu,
+nu)`` (:func:`torch_adam_to_opt_leaves`). ``continue-train`` from an imported
+reference checkpoint therefore resumes Adam momentum exactly like the
+reference's own resume (reference train.py:241-250, checkpoint.py:13-21);
+torch and optax Adam share the update rule bit-for-bit modulo float order
+(torch ``sqrt(v)/sqrt(bc2) + eps`` == optax ``sqrt(v/bc2) + eps``).
+Checkpoints without a usable optimizer dict restart the optimizer, mirroring
+the reference's warm-start semantics (train.py:85-90).
 """
 
 from __future__ import annotations
 
+import logging
 import sys
 import types
 from pathlib import Path
-from typing import Dict, Optional, Union
+from typing import Dict, List, Optional, Union
 
 import numpy as np
 
 from waveglow_tpu.checkpointing.store import CheckpointWaveglow
 from waveglow_tpu.hparams import HParams
+
+logger = logging.getLogger(__name__)
 
 
 def _t(x) -> np.ndarray:
@@ -137,6 +147,75 @@ def state_dict_to_params(sd: Dict, hparams: HParams) -> Dict:
     }
     params["flows"].append({"inv1x1": {"w": inv_w}, "wn": wn})
   return params
+
+
+def torch_adam_to_opt_leaves(opt_sd: Dict, torch_sd: Dict,
+                             hparams: HParams) -> Optional[List[np.ndarray]]:
+  """Map a torch ``optim.Adam.state_dict()`` onto positional optax leaves.
+
+  torch indexes optimizer state by the position of each tensor in
+  ``model.parameters()`` — the same registration-order traversal that
+  produces ``state_dict()`` keys (WaveGlow registers no buffers, so the
+  orders coincide; every pairing is shape-checked below and any mismatch
+  aborts the mapping rather than silently misassigning moments).
+
+  ``exp_avg``/``exp_avg_sq`` are elementwise per-parameter, so each runs
+  through the exact weight-layout transform of its own parameter
+  (:func:`state_dict_to_params` on a synthetic state dict) and the results
+  land on ``optax.ScaleByAdamState(count, mu, nu)`` in the positional leaf
+  order :func:`waveglow_tpu.checkpointing.store.restore_opt_state` expects
+  for ``optax.adam`` (reference resume semantics: train.py:241-250).
+
+  Returns None (with a logged reason) when the state is absent/partial —
+  the caller falls back to a fresh optimizer, the reference's warm-start
+  behavior.
+  """
+  import optax
+
+  state = opt_sd.get("state") if isinstance(opt_sd, dict) else None
+  groups = opt_sd.get("param_groups") if isinstance(opt_sd, dict) else None
+  if not state or not groups:
+    logger.info("torch checkpoint has no Adam state; optimizer restarts")
+    return None
+  order = [i for g in groups for i in g.get("params", ())]
+  names = list(torch_sd.keys())
+  if len(order) != len(names):
+    logger.warning(
+        "torch optimizer covers %d params but the state dict has %d "
+        "tensors; optimizer restarts", len(order), len(names))
+    return None
+
+  avg_sd: Dict[str, np.ndarray] = {}
+  avg_sq_sd: Dict[str, np.ndarray] = {}
+  step = 0
+  for idx, name in zip(order, names):
+    st = state.get(idx)
+    if st is None or "exp_avg" not in st or "exp_avg_sq" not in st:
+      logger.warning("torch Adam state missing for param %d (%s); "
+                     "optimizer restarts", idx, name)
+      return None
+    avg = _t(st["exp_avg"])
+    avg_sq = _t(st["exp_avg_sq"])
+    want = tuple(torch_sd[name].shape)
+    if avg.shape != want or avg_sq.shape != want:
+      logger.warning("torch Adam moment shape %s != param %s shape %s; "
+                     "optimizer restarts", avg.shape, name, want)
+      return None
+    avg_sd[name] = avg
+    avg_sq_sd[name] = avg_sq
+    step = max(step, int(float(_t(st["step"]).reshape(-1)[0]))
+               if "step" in st else 0)
+
+  mu = state_dict_to_params(avg_sd, hparams)
+  nu = state_dict_to_params(avg_sq_sd, hparams)
+  # optax.adam(float lr) state structure: (ScaleByAdamState, EmptyState) —
+  # flattening the real structure keeps the positional order honest; a
+  # structural drift in optax is caught by restore_opt_state's unflatten
+  # (and pinned in tests/test_interop.py)
+  import jax
+  opt_state = (optax.ScaleByAdamState(
+      count=np.asarray(step, np.int32), mu=mu, nu=nu), optax.EmptyState())
+  return [np.asarray(leaf) for leaf in jax.tree_util.tree_leaves(opt_state)]
 
 
 def _install_glow_shim() -> None:
@@ -240,9 +319,11 @@ def load_torch_checkpoint(path: Union[str, Path]) -> CheckpointWaveglow:
     hparams, _ = hparams_from_dict(hparams_dict)
     sd = ckpt["state_dict"]
     params = state_dict_to_params(sd, hparams)
+    opt_leaves = (torch_adam_to_opt_leaves(ckpt["optimizer"], sd, hparams)
+                  if ckpt.get("optimizer") is not None else None)
     from dataclasses import asdict
     return CheckpointWaveglow(
-        state_dict=params, optimizer=None,
+        state_dict=params, optimizer=opt_leaves,
         learning_rate=float(ckpt.get("learning_rate", hparams.learning_rate)),
         iteration=int(ckpt.get("iteration", 0)), hparams=asdict(hparams))
 
@@ -253,9 +334,11 @@ def load_torch_checkpoint(path: Union[str, Path]) -> CheckpointWaveglow:
     iteration = int(ckpt.get("iteration", 580000))
     hparams = derive_hparams_from_state_dict(sd)
     params = state_dict_to_params(sd, hparams)
+    opt_leaves = (torch_adam_to_opt_leaves(ckpt["optimizer"], sd, hparams)
+                  if ckpt.get("optimizer") is not None else None)
     from dataclasses import asdict
     return CheckpointWaveglow(
-        state_dict=params, optimizer=None, learning_rate=1e-4,
+        state_dict=params, optimizer=opt_leaves, learning_rate=1e-4,
         iteration=iteration, hparams=asdict(hparams))
 
   raise ValueError(f"unrecognized torch checkpoint structure at {path}")

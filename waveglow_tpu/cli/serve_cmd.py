@@ -49,6 +49,14 @@ def init_serve_parser(parser: ArgumentParser):
                       help="synthesize in fixed mel windows of this many "
                            "frames (bounds activation memory for unbounded "
                            "request lengths)")
+  parser.add_argument("--max-batch", type=parse_positive_integer, default=8,
+                      help="micro-batch up to this many concurrent requests "
+                           "into one fused device dispatch (1 serializes "
+                           "requests batch-1)")
+  parser.add_argument("--batch-window-ms", type=float, default=5.0,
+                      help="wait this long for companion requests before "
+                           "dispatching (simultaneous arrivals batch even "
+                           "on an idle device; 0 = dispatch immediately)")
   return _run
 
 
@@ -61,7 +69,8 @@ def _run(ns: Namespace) -> bool:
       checkpoint,
       custom_hparams=parse_custom_hparams(ns.custom_hparams),
       bucket_frames=ns.bucket_frames, chunk_frames=ns.chunk_frames,
-      sigma=ns.sigma, denoiser_strength=ns.denoiser_strength)
+      sigma=ns.sigma, denoiser_strength=ns.denoiser_strength,
+      max_batch=ns.max_batch, batch_window_ms=ns.batch_window_ms)
   logger.info("Model ready; binding %s:%d", ns.host, ns.port)
   serve_forever(service, ns.host, ns.port)
   return True

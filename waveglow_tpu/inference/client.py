@@ -93,7 +93,10 @@ class SynthesisClient:
       assert resp.headers["X-PCM-Format"] == "s16le"
       carry = b""
       while True:
-        data = resp.read(_STREAM_READ_BYTES)
+        # read1 returns as soon as ANY bytes are available — read(n) would
+        # block until n bytes accumulate, stalling playback at piece
+        # boundaries that don't align with the read size
+        data = resp.read1(_STREAM_READ_BYTES)
         if not data:
           break
         carry += data

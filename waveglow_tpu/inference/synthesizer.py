@@ -144,6 +144,47 @@ class Synthesizer:
     self._infer_packed = jax.jit(_infer_packed)
     self._infer_packed_raw = jax.jit(_infer_packed_raw)
 
+    # Micro-batched serving programs: one fused dispatch synthesizes B
+    # queued requests together. Noise is drawn PER ROW with each request's
+    # own seed through the identical batch-1 derivation
+    # (block_noise(key, batch=1)), so a request's waveform does not depend
+    # on what it was co-batched with and matches the solo infer_serving
+    # output for the same seed up to compilation-dependent rounding.
+    from waveglow_tpu.models.waveglow import block_noise
+
+    def _row_noise(seed, n_frames):
+      key = jax.random.PRNGKey(seed)
+      return [z[0] for z in block_noise(key, config, 1, 0, n_frames)]
+
+    def _batch_outputs(wav, true_ns):
+      mask = jnp.arange(wav.shape[-1])[None, :] < true_ns[:, None]
+      return jnp.max(jnp.abs(wav) * mask, axis=-1)  # [B]
+
+    def _batch_noise(mel_batch, seeds):
+      return jax.vmap(lambda s: _row_noise(s, mel_batch.shape[-1]))(seeds)
+
+    def _infer_packed_many(params, mel_batch, sigma, seeds, strength,
+                           true_ns):
+      noise = _batch_noise(mel_batch, seeds)
+      wav = infer(params, config, mel_batch, sigma=sigma, noise=noise,
+                  compute_dtype=cdt, scan_flows=scan)
+      max_abs = _batch_outputs(wav, true_ns)
+      dn = self.denoiser(wav, strength)
+      pad = wav.shape[-1] - dn.shape[-1]
+      if pad > 0:
+        dn = jnp.pad(dn, ((0, 0), (0, pad)))
+      dn = dn[..., :wav.shape[-1]]
+      return dn, _pcm16_dev(dn), max_abs
+
+    def _infer_packed_many_raw(params, mel_batch, sigma, seeds, true_ns):
+      noise = _batch_noise(mel_batch, seeds)
+      wav = infer(params, config, mel_batch, sigma=sigma, noise=noise,
+                  compute_dtype=cdt, scan_flows=scan)
+      return wav, _pcm16_dev(wav), _batch_outputs(wav, true_ns)
+
+    self._infer_packed_many = jax.jit(_infer_packed_many)
+    self._infer_packed_many_raw = jax.jit(_infer_packed_many_raw)
+
   def infer(self, mel: np.ndarray, *, sigma: float = 1.0,
             denoiser_strength: float = 0.0005, seed: int = 0,
             noise: Optional[Sequence[np.ndarray]] = None,
@@ -278,6 +319,77 @@ class Synthesizer:
         samples=samples, sampling_rate=self.hparams.sampling_rate,
         duration_s=duration_s, was_overamplified=was_overamplified,
         timepoint=timepoint)
+
+  def infer_serving_many(self, mels: Sequence[np.ndarray], *,
+                         sigma: float = 1.0,
+                         denoiser_strength: float = 0.0005,
+                         seeds: Optional[Sequence[int]] = None,
+                         bucket_frames: Optional[int] = 64,
+                         pcm16: bool = False,
+                         max_batch: int = 8) -> List["ServingResult"]:
+    """Micro-batched :meth:`infer_serving`: N requests, few fused dispatches.
+
+    Requests are grouped into length buckets (mel frames rounded up to
+    ``bucket_frames``), each bucket padded to a power-of-two batch size (by
+    repeating the last row, repeats dropped) and synthesized as ONE fused
+    program — so a burst of concurrent traffic costs O(buckets) device
+    dispatches at full MXU batch parallelism instead of N serialized
+    batch-1 calls. Compile count is bounded by distinct (bucket,
+    pow2-batch<=max_batch) pairs.
+
+    Per-request determinism: row i draws its noise from ``seeds[i]``
+    through the exact batch-1 derivation, so each result is independent of
+    its co-batched neighbors and matches ``infer_serving(mel_i,
+    seed=seeds[i])`` up to compilation-dependent float rounding
+    (tests/test_serving.py pins the bound).
+    """
+    timepoint = datetime.datetime.now()
+    if seeds is None:
+      seeds = [0] * len(mels)
+    if len(seeds) != len(mels):
+      raise ValueError(f"{len(mels)} mels but {len(seeds)} seeds")
+    if max_batch < 1:
+      raise ValueError("max_batch must be >= 1")
+    prepared = [self._prepare_mel(m, bucket_frames) for m in mels]
+
+    groups: Dict[int, List[int]] = {}
+    for i, (mel, _) in enumerate(prepared):
+      groups.setdefault(mel.shape[-1], []).append(i)
+
+    out: List[Optional[ServingResult]] = [None] * len(mels)
+    for padded_f in sorted(groups):
+      idxs = groups[padded_f]
+      for s in range(0, len(idxs), max_batch):
+        chunk = idxs[s:s + max_batch]
+        start = time.perf_counter()
+        # pad the batch to the next power of two (bounded program count);
+        # repeated rows are dropped after the fetch
+        b = 1
+        while b < len(chunk):
+          b *= 2
+        rows = chunk + [chunk[-1]] * (b - len(chunk))
+        mel_batch = jnp.concatenate([prepared[i][0] for i in rows], axis=0)
+        seed_arr = jnp.asarray([seeds[i] for i in rows], dtype=jnp.uint32)
+        true_arr = jnp.asarray([prepared[i][1] for i in rows],
+                               dtype=jnp.int32)
+        if denoiser_strength > 0:
+          dn, pcm, max_abs = self._infer_packed_many(
+              self.params, mel_batch, jnp.float32(sigma), seed_arr,
+              jnp.float32(denoiser_strength), true_arr)
+        else:
+          dn, pcm, max_abs = self._infer_packed_many_raw(
+              self.params, mel_batch, jnp.float32(sigma), seed_arr, true_arr)
+        samples = np.asarray(pcm if pcm16 else dn)
+        max_abs = np.asarray(max_abs)
+        duration_s = time.perf_counter() - start
+        for row, i in enumerate(chunk):
+          out[i] = ServingResult(
+              samples=samples[row, :prepared[i][1]],
+              sampling_rate=self.hparams.sampling_rate,
+              duration_s=duration_s,
+              was_overamplified=bool(max_abs[row] > 1.0),
+              timepoint=timepoint)
+    return out  # type: ignore[return-value]
 
   def stream(self, mel: np.ndarray, *, sigma: float = 1.0, seed: int = 0,
              chunk_frames: int = 256, pcm16: bool = False,
