@@ -118,7 +118,10 @@ def main():
       def worker(c):
         barrier.wait()
         for i in range(args.per_client):
-          client.synthesize(mel, seed=c * 100 + i + hash(tag) % 97)
+          # int16 RIFF responses: the production format (half the fetch and
+          # response bytes of float32 npy)
+          client.synthesize_to_wav_bytes(mel,
+                                         seed=c * 100 + i + hash(tag) % 97)
 
       with concurrent.futures.ThreadPoolExecutor(args.clients) as pool:
         t0 = time.perf_counter()

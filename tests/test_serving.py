@@ -190,37 +190,59 @@ def _pad_reach_samples(config):
 
 
 def test_bucket_padding_deviation_bound():
-  """A bucket-padded synthesis equals solo synthesis on every sample outside
-  the trailing receptive-field window, and the window itself stays below a
-  pinned bound (quantifies the padding semantics documented in
-  serving.infer_many and Synthesizer.infer(bucket_frames=...))."""
-  from waveglow_tpu.inference.synthesizer import Synthesizer
+  """Characterizes the UNMASKED padding deviation class (models-level infer
+  without true_frames): pad conditioning reaches kept samples only through
+  the WN convs' trailing receptive-field window, bounded magnitude. This is
+  the deviation the true_frames masking removes — if masking silently
+  became a no-op, TestBucketExactness would catch it because this test
+  proves the unmasked programs genuinely differ."""
+  import jax
+
+  from waveglow_tpu.dsp.mel import CLIP_VAL
+  from waveglow_tpu.models.waveglow import block_noise, fuse_for_inference, \
+      infer
 
   ckpt = tiny_checkpoint(seed=3, perturb_end=True)
-  synth = Synthesizer(ckpt)
-  frames = 20
-  mel = rand_mels(1, frames, seed=6)[0]
+  from waveglow_tpu.hparams import HParams, overwrite_custom_hparams, \
+      parse_custom_hparams
+  config = WaveGlowConfig.from_hparams(ckpt.get_hparams())
+  params = fuse_for_inference(ckpt.state_dict)
+  frames, padded_f = 20, 32
+  mel = rand_mels(1, frames, seed=6)
+  floor = float(np.log(CLIP_VAL))
+  mel_padded = np.pad(mel, ((0, 0), (0, 0), (0, padded_f - frames)),
+                      constant_values=floor)
+  key = jax.random.PRNGKey(5)
 
-  solo = synth.infer(mel, seed=5, denoiser_strength=0.0)
-  bucketed = synth.infer(mel, seed=5, denoiser_strength=0.0,
-                         bucket_frames=16)  # pads 20 -> 32 frames
-  assert bucketed.wav.shape == solo.wav.shape == (frames * 256,)
+  solo = np.asarray(infer(params, config, mel, rng=key))[0]
+  unmasked = np.asarray(infer(params, config, mel_padded,
+                              rng=key))[0, :frames * 256]
 
-  reach = _pad_reach_samples(synth.config)
+  reach = _pad_reach_samples(config)
   cut = frames * 256 - reach
   # identical noise (position-keyed per absolute frame), identical upsampled
   # conditioning -> the prefix outside the conv-reach window must agree to
   # float-roundoff (the two XLA programs differ only in shape)
-  np.testing.assert_allclose(bucketed.wav[:cut], solo.wav[:cut], atol=1e-6)
+  np.testing.assert_allclose(unmasked[:cut], solo[:cut], atol=1e-6)
   # the tail sees silence-pad conditioning instead of the solo call's zero
-  # conv boundary; pinned regression bound on the deviation
-  tail_dev = float(np.abs(bucketed.wav[cut:] - solo.wav[cut:]).max())
-  assert tail_dev < 0.5, tail_dev
+  # conv boundary: the deviation is real (masking is not vacuous) and
+  # bounded
+  tail_dev = float(np.abs(unmasked[cut:] - solo[cut:]).max())
+  assert 1e-6 < tail_dev < 0.5, tail_dev
+
+  # the masked program removes it: bit-identical on every kept sample
+  masked = np.asarray(infer(params, config, mel_padded, rng=key,
+                            true_frames=frames))[0, :frames * 256]
+  np.testing.assert_array_equal(masked, solo)
 
 
 def test_bucket_padding_deviation_bound_denoised():
-  """Same localization property through the denoiser: its STFT roundtrip
-  widens the affected window by one filter length + hop."""
+  """Raw bucketed synthesis is now bit-identical (true_frames masking);
+  through the denoiser only the trailing STFT window can differ — the
+  padded run denoises the padded waveform (whose pad region carries
+  pointwise garbage the masking doesn't zero) before trimming, so frames
+  overlapping the boundary and the boundary normalization envelope differ
+  there by design."""
   from waveglow_tpu.inference.synthesizer import Synthesizer
 
   ckpt = tiny_checkpoint(seed=3, perturb_end=True)
@@ -231,17 +253,18 @@ def test_bucket_padding_deviation_bound_denoised():
   solo = synth.infer(mel, seed=5, denoiser_strength=0.01)
   bucketed = synth.infer(mel, seed=5, denoiser_strength=0.01,
                          bucket_frames=16)
-  reach = _pad_reach_samples(synth.config)
+  np.testing.assert_array_equal(bucketed.wav, solo.wav)
   stft_reach = 1024 + 256  # filter_length + hop of the denoiser STFT
-  cut = frames * 256 - reach - stft_reach
+  cut = frames * 256 - stft_reach
   np.testing.assert_allclose(bucketed.wav_denoised[:cut],
                              solo.wav_denoised[:cut], atol=1e-5)
 
 
 def test_infer_many_padding_deviation_bound():
-  """infer_many's padded bucket rows deviate from an exact-length call with
-  the same key only inside the trailing receptive-field window (VERDICT
-  round-2 item 8; cites serving.infer_many padding semantics)."""
+  """infer_many's padded bucket rows now match an exact-length call with
+  the same key on EVERY sample (round 4: per-row true_frames masking; the
+  unmasked deviation class is characterized in
+  test_bucket_padding_deviation_bound)."""
   ckpt = tiny_checkpoint(seed=3, perturb_end=True)
   synth = BatchSynthesizer(ckpt)
   frames, bucket = 20, 16
@@ -256,11 +279,7 @@ def test_infer_many_padding_deviation_bound():
                                  np.float32(1.0), key))[0]
 
   assert bucketed.shape == solo.shape == (frames * 256,)
-  reach = _pad_reach_samples(synth.config)
-  cut = frames * 256 - reach
-  np.testing.assert_allclose(bucketed[:cut], solo[:cut], atol=1e-6)
-  tail_dev = float(np.abs(bucketed[cut:] - solo[cut:]).max())
-  assert tail_dev < 0.5, tail_dev
+  np.testing.assert_array_equal(bucketed, solo)
 
 
 class TestInferServing:
@@ -374,3 +393,57 @@ class TestInferServingMany:
   def test_seed_count_mismatch_rejected(self, synth):
     with pytest.raises(ValueError):
       synth.infer_serving_many([rand_mels(1, 12)[0]], seeds=[1, 2])
+
+
+class TestBucketExactness:
+  """Round-4 exactness contract: bucket padding changes NOTHING about the
+  kept samples — every serving path (classic, fused single-fetch, chunked
+  windows) produces the identical waveform the unpadded program would."""
+
+  @pytest.fixture(scope="class")
+  def synth(self):
+    from waveglow_tpu.inference.synthesizer import Synthesizer
+    return Synthesizer(tiny_checkpoint(seed=3, perturb_end=True))
+
+  def test_bucketed_equals_solo_on_all_samples(self, synth):
+    for frames in (9, 13, 20):  # none a multiple of the bucket
+      mel = rand_mels(1, frames, seed=frames)[0]
+      solo = synth.infer(mel, seed=7, denoiser_strength=0.0)
+      bucketed = synth.infer(mel, seed=7, denoiser_strength=0.0,
+                             bucket_frames=16)
+      assert bucketed.wav.shape == solo.wav.shape == (frames * 256,)
+      np.testing.assert_array_equal(bucketed.wav, solo.wav)
+
+  def test_fused_serving_path_exact(self, synth):
+    mel = rand_mels(1, 13, seed=2)[0]
+    solo = synth.infer_serving(mel, seed=3, denoiser_strength=0.0,
+                               bucket_frames=None)
+    bucketed = synth.infer_serving(mel, seed=3, denoiser_strength=0.0,
+                                   bucket_frames=16)
+    np.testing.assert_array_equal(bucketed.samples, solo.samples)
+
+  def test_chunked_composition_exact(self, synth):
+    """bucket_frames + chunk_frames: the masked window programs reproduce
+    the unbucketed chunked output exactly."""
+    mel = rand_mels(1, 21, seed=4)[0]
+    solo = synth.infer(mel, seed=5, denoiser_strength=0.0, chunk_frames=6)
+    bucketed = synth.infer(mel, seed=5, denoiser_strength=0.0,
+                           chunk_frames=6, bucket_frames=16)
+    assert bucketed.wav.shape == solo.wav.shape == (21 * 256,)
+    np.testing.assert_allclose(bucketed.wav, solo.wav, atol=1e-6)
+
+  def test_exact_multiple_still_shares_unmasked_program(self, synth):
+    """A length already on the bucket boundary pads nothing and must give
+    the plain program's output."""
+    mel = rand_mels(1, 16, seed=5)[0]
+    a = synth.infer(mel, seed=1, denoiser_strength=0.0)
+    b = synth.infer(mel, seed=1, denoiser_strength=0.0, bucket_frames=16)
+    np.testing.assert_array_equal(a.wav, b.wav)
+
+  def test_pallas_with_true_frames_rejected(self, synth):
+    from waveglow_tpu.models.waveglow import fuse_for_inference, infer
+    import jax.numpy as jnp
+    with pytest.raises(ValueError, match="Pallas"):
+      infer(synth.params, synth.config,
+            jnp.asarray(rand_mels(1, 8, seed=1)), rng=jax.random.PRNGKey(0),
+            use_pallas=True, true_frames=4)

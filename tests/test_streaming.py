@@ -207,7 +207,7 @@ class TestProgramReuse:
       out[frames] = np.concatenate([np.asarray(p) for p in pieces], axis=1)
       assert out[frames].shape == (1, frames * 256)
     assert _window_fn.cache_info().currsize == 1
-    run_window = _window_fn(CFG, 8 + 2 * halo, None, False, False, False)
+    run_window = _window_fn(CFG, 8 + 2 * halo, None, False, False, False, False)
     assert run_window._cache_size() == 1  # ONE XLA program for both lengths
 
   def test_short_mel_uses_cached_jitted_program(self):
@@ -223,7 +223,7 @@ class TestProgramReuse:
       pieces = list(stream_chunks(params, CFG, mel, chunk_frames=8,
                                   rng=jax.random.PRNGKey(seed)))
       assert len(pieces) == 1 and pieces[0][1].shape == (1, 6 * 256)
-    run_window = _window_fn(CFG, 6, None, False, False, False)
+    run_window = _window_fn(CFG, 6, None, False, False, False, False)
     assert run_window._cache_size() == 1
     # and it matches the one-call full infer (same injected noise) up to the
     # documented compilation-dependent rounding

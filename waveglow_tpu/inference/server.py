@@ -131,7 +131,10 @@ class _MicroBatcher:
         return
       batch = [first]
       deadline = time.monotonic() + self._window_s
-      while len(batch) < self._max_batch:
+      # drain more than one program's worth: serving_many_dispatch splits
+      # the drain into <=max_batch programs and submits them ALL before any
+      # fetch, so group k's fetch overlaps group k+1's device time
+      while len(batch) < 4 * self._max_batch:
         try:
           remaining = deadline - time.monotonic()
           nxt = (self._q.get(timeout=remaining) if remaining > 0
@@ -160,21 +163,26 @@ class _MicroBatcher:
           self._service.stats["batches"] += 1
           self._service.stats["batched_requests"] += len(reqs)
       try:
-        with self._service._device_lock:
-          if len(reqs) == 1:
-            r = reqs[0]
+        if len(reqs) == 1:
+          r = reqs[0]
+          with self._service._device_lock:
             r.result = self._service.synth.infer_serving(
                 r.mel, sigma=sigma, denoiser_strength=strength, seed=r.seed,
                 bucket_frames=self._service.bucket_frames or None,
                 pcm16=pcm16)
-          else:
-            results = self._service.synth.infer_serving_many(
+        else:
+          # hold the lock only for program SUBMISSION — execution is async
+          # and queues in order on the device stream, so fetching these
+          # waveforms (finalize) overlaps the next group's device time
+          with self._service._device_lock:
+            dispatched = self._service.synth.serving_many_dispatch(
                 [r.mel for r in reqs], sigma=sigma,
                 denoiser_strength=strength, seeds=[r.seed for r in reqs],
                 bucket_frames=self._service.bucket_frames or None,
                 pcm16=pcm16, max_batch=self._max_batch)
-            for r, res in zip(reqs, results):
-              r.result = res
+          results = self._service.synth.serving_many_finalize(dispatched)
+          for r, res in zip(reqs, results):
+            r.result = res
       except Exception as e:  # noqa: BLE001 — fan the failure out per request
         for r in reqs:
           r.error = e

@@ -72,6 +72,12 @@ class BatchSynthesizer:
     self._infer = jax.jit(
         lambda p, m, sigma, key: infer(p, config, m, sigma=sigma, rng=key,
                                        compute_dtype=cdt, scan_flows=scan))
+    # bucketed variant: per-row true frame counts mask WN pad rows, so kept
+    # samples are bit-identical to unpadded solo calls (models.waveglow.infer)
+    self._infer_masked = jax.jit(
+        lambda p, m, sigma, key, tf: infer(p, config, m, sigma=sigma,
+                                           rng=key, compute_dtype=cdt,
+                                           scan_flows=scan, true_frames=tf))
 
   def _put_batch(self, mels: jnp.ndarray) -> jnp.ndarray:
     if self.mesh is not None and DATA_AXIS in self.mesh.axis_names:
@@ -108,16 +114,16 @@ class BatchSynthesizer:
     (bucket length, batch size) pairs, not utterance lengths; ``max_batch``
     splits oversized buckets.
 
-    Padding semantics: the conv-transpose upsample cannot leak pad frames
-    into kept samples (pad frame f >= F_true contributes only to audio
-    positions t >= f*hop, all trimmed), but the WN stack's dilated convs are
-    'same'-padded in time, so the trailing ~receptive-field samples
-    (2*(2^n_layers - 1)*n_group per flow) see silence-pad conditioning
-    instead of the implicit zero pad of a solo call — the same boundary
-    class of difference as any batched-padding server. The localization and
-    a pinned magnitude bound are regression-tested in
-    tests/test_serving.py::test_infer_many_padding_deviation_bound. Outputs
-    are deterministic for a fixed (seed, bucket shape).
+    Padding semantics (exact): the conv-transpose upsample cannot leak pad
+    frames into kept samples (pad frame f >= F_true contributes only to
+    audio positions t >= f*hop, all trimmed), and the WN stack's dilated
+    convs — the one leak path, through their 'same' time padding — run with
+    per-row ``true_frames`` masking (models.waveglow.infer), which zeroes
+    residual rows past each row's real frame count so kept samples equal
+    the zero conv boundary of an unpadded call bit-for-bit. (The unmasked
+    deviation class this removes is still characterized in
+    tests/test_serving.py::test_infer_many_padding_deviation_bound.)
+    Outputs are deterministic for a fixed (seed, bucket shape).
 
     With a data mesh, bucket batches are padded (by repeating the last row)
     to a multiple of the data-axis size, and the repeats are dropped.
@@ -155,8 +161,12 @@ class BatchSynthesizer:
           batch = np.concatenate(
               [batch, np.repeat(batch[-1:], pad_rows, axis=0)], axis=0)
         key = jax.random.fold_in(jax.random.PRNGKey(seed), padded_f)
-        wav = np.asarray(self._infer(self.params, self._put_batch(batch),
-                                     jnp.float32(sigma), key))
+        true_f = jnp.asarray(
+            [frames[i] for i in group] + [frames[group[-1]]] * pad_rows,
+            dtype=jnp.int32)
+        wav = np.asarray(self._infer_masked(
+            self.params, self._put_batch(batch), jnp.float32(sigma), key,
+            true_f))
         for row, i in enumerate(group):
           out[i] = wav[row, :frames[i] * hop]
     return out  # type: ignore[return-value]

@@ -77,13 +77,17 @@ def infer_chunked(params, config: WaveGlowConfig, mel: jnp.ndarray, *,
                   chunk_frames: int = 256,
                   halo_frames: Optional[int] = None,
                   compute_dtype=None, scan_flows: bool = False,
-                  use_pallas: bool = False) -> jnp.ndarray:
+                  use_pallas: bool = False,
+                  true_frames: Optional[int] = None) -> jnp.ndarray:
   """Constant-memory mel->wav synthesis, exact vs one-call :func:`infer`.
 
   Args:
     mel: [B, n_mels, frames].
     chunk_frames: frames emitted per window; window = chunk + 2*halo.
     halo_frames: receptive-field halo (default: derived from the config).
+    true_frames: real frame count when ``mel`` carries bucket-pad frames
+      (see models.waveglow.infer) — windows mask WN rows past it so kept
+      samples match the unpadded call exactly.
   Returns:
     waveform [B, frames * UPSAMPLE_STRIDE], matching
     ``infer(params, config, mel, noise=block_noise(...))`` with identical
@@ -93,7 +97,7 @@ def infer_chunked(params, config: WaveGlowConfig, mel: jnp.ndarray, *,
             stream_chunks(params, config, mel, sigma=sigma, rng=rng,
                           chunk_frames=chunk_frames, halo_frames=halo_frames,
                           compute_dtype=compute_dtype, scan_flows=scan_flows,
-                          use_pallas=use_pallas)]
+                          use_pallas=use_pallas, true_frames=true_frames)]
   return jnp.concatenate(pieces, axis=1)
 
 
@@ -102,7 +106,8 @@ def stream_chunks(params, config: WaveGlowConfig, mel: jnp.ndarray, *,
                   chunk_frames: int = 256,
                   halo_frames: Optional[int] = None,
                   compute_dtype=None, scan_flows: bool = False,
-                  use_pallas: bool = False, pcm16: bool = False
+                  use_pallas: bool = False, pcm16: bool = False,
+                  true_frames: Optional[int] = None
                   ) -> Iterator[Tuple[int, jnp.ndarray]]:
   """Generator form of :func:`infer_chunked` for low-latency serving.
 
@@ -126,17 +131,20 @@ def stream_chunks(params, config: WaveGlowConfig, mel: jnp.ndarray, *,
 
   dtype_key = None if compute_dtype is None else jnp.dtype(compute_dtype).name
 
+  masked = true_frames is not None
+  tf = jnp.int32(true_frames if masked else 0)
+
   if total_frames <= window:
     # whole utterance fits one window: run it as a single window-sized
     # program through the same jit cache (an eager infer here would pay
     # thousands of per-op dispatches over a tunneled TPU)
     run_window = _window_fn(config, total_frames, dtype_key, scan_flows,
-                            use_pallas, pcm16)
-    yield 0, run_window(params, mel, 0, jnp.float32(sigma), rng)
+                            use_pallas, pcm16, masked)
+    yield 0, run_window(params, mel, 0, jnp.float32(sigma), rng, tf)
     return
 
   run_window = _window_fn(config, window, dtype_key, scan_flows, use_pallas,
-                          pcm16)
+                          pcm16, masked)
 
   for s in range(0, total_frames, chunk_frames):
     e = min(s + chunk_frames, total_frames)
@@ -145,7 +153,7 @@ def stream_chunks(params, config: WaveGlowConfig, mel: jnp.ndarray, *,
     # and therefore its one compilation — is independent of the utterance
     # length; a folder of distinct-length files reuses a single program
     mel_w = jax.lax.dynamic_slice(mel, (0, 0, a), (batch, n_mels, window))
-    wav_w = run_window(params, mel_w, a, jnp.float32(sigma), rng)
+    wav_w = run_window(params, mel_w, a, jnp.float32(sigma), rng, tf)
     lo = (s - a) * UPSAMPLE_STRIDE
     yield (s * UPSAMPLE_STRIDE,
            wav_w[:, lo:lo + (e - s) * UPSAMPLE_STRIDE])
@@ -153,18 +161,23 @@ def stream_chunks(params, config: WaveGlowConfig, mel: jnp.ndarray, *,
 
 @functools.lru_cache(maxsize=16)
 def _window_fn(config: WaveGlowConfig, window: int, dtype_key,
-               scan_flows: bool, use_pallas: bool, pcm16: bool = False):
+               scan_flows: bool, use_pallas: bool, pcm16: bool = False,
+               masked: bool = False):
   """One jitted fixed-window program, cached so repeated calls (and every
-  chunk of every call) reuse a single compilation."""
+  chunk of every call) reuse a single compilation. ``masked`` compiles the
+  bucket-exact variant: the global true frame count is an argument and the
+  window masks its slice of the pad region (no-op for windows entirely
+  inside the real utterance)."""
   cdt = None if dtype_key is None else jnp.dtype(dtype_key)
 
   @jax.jit
-  def run_window(params, mel_w, start, sigma, key):
+  def run_window(params, mel_w, start, sigma, key, true_frames):
     batch = mel_w.shape[0]
     noise = block_noise(key, config, batch, start, window)
+    tf_w = (jnp.clip(true_frames - start, 0, window) if masked else None)
     wav = infer(params, config, mel_w, sigma=sigma, noise=noise,
                 compute_dtype=cdt, scan_flows=scan_flows,
-                use_pallas=use_pallas)
+                use_pallas=use_pallas, true_frames=tf_w)
     return pcm16_on_device(wav) if pcm16 else wav
 
   return run_window

@@ -95,9 +95,12 @@ class Synthesizer:
 
     scan = hparams.scan_flows
 
-    def _infer_keyed(params, mel, sigma, key):
+    def _infer_keyed(params, mel, sigma, key, true_frames):
+      # true_frames masking makes bucket-padded programs bit-exact vs the
+      # unpadded call (a no-op when the mel is unpadded)
       wav = infer(params, config, mel, sigma=sigma, rng=key,
-                  compute_dtype=cdt, scan_flows=scan)
+                  compute_dtype=cdt, scan_flows=scan,
+                  true_frames=true_frames)
       return wav
 
     def _infer_noise(params, mel, sigma, noise):
@@ -127,7 +130,8 @@ class Synthesizer:
 
     def _infer_packed(params, mel, sigma, key, strength, true_n):
       wav = infer(params, config, mel, sigma=sigma, rng=key,
-                  compute_dtype=cdt, scan_flows=scan)
+                  compute_dtype=cdt, scan_flows=scan,
+                  true_frames=true_n // UPSAMPLE_STRIDE)
       max_abs = _packed_outputs(wav, true_n)
       dn = self.denoiser(wav, strength)
       pad = wav.shape[-1] - dn.shape[-1]
@@ -138,7 +142,8 @@ class Synthesizer:
 
     def _infer_packed_raw(params, mel, sigma, key, true_n):
       wav = infer(params, config, mel, sigma=sigma, rng=key,
-                  compute_dtype=cdt, scan_flows=scan)
+                  compute_dtype=cdt, scan_flows=scan,
+                  true_frames=true_n // UPSAMPLE_STRIDE)
       return wav, _pcm16_dev(wav), _packed_outputs(wav, true_n)
 
     self._infer_packed = jax.jit(_infer_packed)
@@ -167,7 +172,8 @@ class Synthesizer:
                            true_ns):
       noise = _batch_noise(mel_batch, seeds)
       wav = infer(params, config, mel_batch, sigma=sigma, noise=noise,
-                  compute_dtype=cdt, scan_flows=scan)
+                  compute_dtype=cdt, scan_flows=scan,
+                  true_frames=true_ns // UPSAMPLE_STRIDE)
       max_abs = _batch_outputs(wav, true_ns)
       dn = self.denoiser(wav, strength)
       pad = wav.shape[-1] - dn.shape[-1]
@@ -179,7 +185,8 @@ class Synthesizer:
     def _infer_packed_many_raw(params, mel_batch, sigma, seeds, true_ns):
       noise = _batch_noise(mel_batch, seeds)
       wav = infer(params, config, mel_batch, sigma=sigma, noise=noise,
-                  compute_dtype=cdt, scan_flows=scan)
+                  compute_dtype=cdt, scan_flows=scan,
+                  true_frames=true_ns // UPSAMPLE_STRIDE)
       return wav, _pcm16_dev(wav), _batch_outputs(wav, true_ns)
 
     self._infer_packed_many = jax.jit(_infer_packed_many)
@@ -206,15 +213,16 @@ class Synthesizer:
     PADDED length, so a folder of N distinct-length files costs O(distinct
     buckets) XLA compiles instead of N (each full-model remote compile takes
     ~37 s over a tunneled TPU, docs/PERFORMANCE.md folder-synthesis
-    section). Noise is position-keyed per absolute mel frame, so
-    the kept samples draw the identical noise the unbucketed call would —
-    only the trailing receptive-field window sees silence-pad conditioning
-    instead of the conv zero boundary. Measured at full scale on a trained
-    12x256 model: kept samples outside the tail window are BIT-IDENTICAL to
-    the unbucketed program and the tail deviates <1% RMS
-    (docs/PARITY.md bucket-padding section,
-    benchmarks/bucket_deviation_tpu.json; toy-scale bound pinned in
-    tests/test_serving.py::test_bucket_padding_deviation_bound).
+    section). Bucketing is EXACT end-to-end (round 4): noise is position-
+    keyed per absolute mel frame, so kept samples draw the identical noise
+    the unbucketed call would, and the true frame count rides into the
+    program as a traced argument that zero-masks WN residual rows past it —
+    the one path (the dilated convs' 'same' padding) through which pad
+    frames could reach kept samples — so every kept sample matches the
+    unbucketed program bit-for-bit
+    (tests/test_serving.py::TestBucketExactness; the unmasked deviation
+    class this removes is kept characterized in
+    test_bucket_padding_deviation_bound and docs/PARITY.md).
     """
     timepoint = datetime.datetime.now()
     # composes with chunk_frames: the chunked window program is also traced
@@ -230,13 +238,16 @@ class Synthesizer:
                               [jnp.asarray(n) for n in noise])
     elif chunk_frames is not None:
       from waveglow_tpu.inference.streaming import infer_chunked
+      tf = true_samples // UPSAMPLE_STRIDE
       wav = infer_chunked(self.params, self.config, mel, sigma=sigma,
                           rng=jax.random.PRNGKey(seed),
                           chunk_frames=chunk_frames, compute_dtype=self._cdt,
-                          scan_flows=self.hparams.scan_flows)
+                          scan_flows=self.hparams.scan_flows,
+                          true_frames=(tf if mel.shape[-1] != tf else None))
     else:
       wav = self._infer_keyed(self.params, mel, sigma_arr,
-                              jax.random.PRNGKey(seed))
+                              jax.random.PRNGKey(seed),
+                              jnp.int32(true_samples // UPSAMPLE_STRIDE))
     wav.block_until_ready()
     inference_duration_s = time.perf_counter() - start
 
@@ -343,6 +354,27 @@ class Synthesizer:
     seed=seeds[i])`` up to compilation-dependent float rounding
     (tests/test_serving.py pins the bound).
     """
+    return self.serving_many_finalize(
+        self.serving_many_dispatch(mels, sigma=sigma,
+                                   denoiser_strength=denoiser_strength,
+                                   seeds=seeds, bucket_frames=bucket_frames,
+                                   pcm16=pcm16, max_batch=max_batch))
+
+  def serving_many_dispatch(self, mels: Sequence[np.ndarray], *,
+                            sigma: float = 1.0,
+                            denoiser_strength: float = 0.0005,
+                            seeds: Optional[Sequence[int]] = None,
+                            bucket_frames: Optional[int] = 64,
+                            pcm16: bool = False, max_batch: int = 8):
+    """Asynchronously dispatch the micro-batch programs; fetch nothing.
+
+    Returns an opaque pending record for :meth:`serving_many_finalize`.
+    Split so a serving loop can release its device-serialization lock right
+    after dispatch — jax execution is async and programs queue in order on
+    the device stream, so fetching THIS batch's waveforms then overlaps the
+    NEXT batch's device time (measured ~25% aggregate throughput win over
+    the tunneled link, benchmarks/server_microbatch_tpu.json).
+    """
     timepoint = datetime.datetime.now()
     if seeds is None:
       seeds = [0] * len(mels)
@@ -356,12 +388,12 @@ class Synthesizer:
     for i, (mel, _) in enumerate(prepared):
       groups.setdefault(mel.shape[-1], []).append(i)
 
-    out: List[Optional[ServingResult]] = [None] * len(mels)
+    start = time.perf_counter()
+    pending = []
     for padded_f in sorted(groups):
       idxs = groups[padded_f]
       for s in range(0, len(idxs), max_batch):
         chunk = idxs[s:s + max_batch]
-        start = time.perf_counter()
         # pad the batch to the next power of two (bounded program count);
         # repeated rows are dropped after the fetch
         b = 1
@@ -379,16 +411,24 @@ class Synthesizer:
         else:
           dn, pcm, max_abs = self._infer_packed_many_raw(
               self.params, mel_batch, jnp.float32(sigma), seed_arr, true_arr)
-        samples = np.asarray(pcm if pcm16 else dn)
-        max_abs = np.asarray(max_abs)
-        duration_s = time.perf_counter() - start
-        for row, i in enumerate(chunk):
-          out[i] = ServingResult(
-              samples=samples[row, :prepared[i][1]],
-              sampling_rate=self.hparams.sampling_rate,
-              duration_s=duration_s,
-              was_overamplified=bool(max_abs[row] > 1.0),
-              timepoint=timepoint)
+        pending.append((chunk, pcm if pcm16 else dn, max_abs))
+    return (pending, prepared, len(mels), start, timepoint)
+
+  def serving_many_finalize(self, dispatched) -> List["ServingResult"]:
+    """Fetch a :meth:`serving_many_dispatch` record into ServingResults."""
+    pending, prepared, n, start, timepoint = dispatched
+    out: List[Optional[ServingResult]] = [None] * n
+    for chunk, samples_dev, max_abs_dev in pending:
+      samples = np.asarray(samples_dev)
+      max_abs = np.asarray(max_abs_dev)
+      duration_s = time.perf_counter() - start
+      for row, i in enumerate(chunk):
+        out[i] = ServingResult(
+            samples=samples[row, :prepared[i][1]],
+            sampling_rate=self.hparams.sampling_rate,
+            duration_s=duration_s,
+            was_overamplified=bool(max_abs[row] > 1.0),
+            timepoint=timepoint)
     return out  # type: ignore[return-value]
 
   def stream(self, mel: np.ndarray, *, sigma: float = 1.0, seed: int = 0,

@@ -346,7 +346,8 @@ def infer_noise_shapes(config: WaveGlowConfig, batch: int,
 def infer(params: Dict, config: WaveGlowConfig, spect: jnp.ndarray,
           sigma: float = 1.0, noise: Optional[Sequence[jnp.ndarray]] = None,
           rng: Optional[jax.Array] = None, compute_dtype=None,
-          use_pallas: bool = False, scan_flows: bool = False) -> jnp.ndarray:
+          use_pallas: bool = False, scan_flows: bool = False,
+          true_frames=None) -> jnp.ndarray:
   """Synthesis-direction flow (reference model.py:223-274).
 
   Args:
@@ -355,9 +356,20 @@ def infer(params: Dict, config: WaveGlowConfig, spect: jnp.ndarray,
     noise: optional injected standard-normal tensors (see
       :func:`infer_noise_shapes`) — used for torch-RNG parity.
     rng: jax PRNG key used when ``noise`` is None.
+    true_frames: when ``spect`` carries bucket-pad frames beyond the real
+      utterance, the count of REAL frames (traced scalar or per-batch [B]
+      vector). WN residual rows past it are zero-masked so samples inside
+      it come out bit-identical to an unpadded call (position-keyed noise
+      already draws identically there) — padded serving is then exact, not
+      approximate. None = no masking (the pre-round-4 padding semantics:
+      trailing receptive-field samples see silence-pad conditioning).
   Returns:
     waveform [B, T_samples].
   """
+  if true_frames is not None and use_pallas:
+    raise ValueError("true_frames masking is XLA-path only; the Pallas "
+                     "kernel's valid_t must be static (disable use_pallas "
+                     "for bucket-exact serving)")
   up = upsample_mel(params, spect, compute_dtype)
   time_cutoff = UPSAMPLE_KERNEL - UPSAMPLE_STRIDE
   up = up[:, :-time_cutoff, :]
@@ -383,6 +395,9 @@ def infer(params: Dict, config: WaveGlowConfig, spect: jnp.ndarray,
       assert tuple(n.shape) == s, f"noise shape {n.shape} != expected {s}"
 
   valid_t = None
+  if true_frames is not None:
+    groups_per_frame = UPSAMPLE_STRIDE // config.n_group
+    valid_t = jnp.asarray(true_frames) * groups_per_frame
   if use_pallas and config.kernel_size != 3:
     # wn_forward only dispatches to the kernel for kernel_size 3; padding
     # here without the kernel's valid_t masking would corrupt the tail.

@@ -149,8 +149,16 @@ def wn_forward(params: Dict, audio0: jnp.ndarray, spect: jnp.ndarray,
 
   ``use_pallas`` routes the per-layer body through the fused Pallas kernel
   (kernel_size 3 only; differentiable via wn_layer_trainable's custom VJP).
-  ``valid_t`` is the true time length when the caller padded T to a kernel
-  tile multiple (Pallas path only).
+
+  ``valid_t`` is the true time length when the caller padded T: residual-
+  stream rows >= valid_t are forced to zero after the start conv and after
+  every residual update, so the dilated taps read pad rows exactly like the
+  zero "same" padding an unpadded T=valid_t call would — positions
+  < valid_t are then BIT-IDENTICAL to the unpadded program (this is what
+  makes bucket-padded serving exact; see Synthesizer.infer docstring). On
+  the XLA path valid_t may be a traced scalar or a per-batch [B] vector
+  (rows can have different true lengths in a micro-batch); the Pallas path
+  needs a static int (its kernel masks per tile).
 
   (A taps+spect single-gate-matmul variant was measured 0.91x — slower —
   on v5e: XLA already fuses the cond add into a matmul epilogue, and the
@@ -163,10 +171,16 @@ def wn_forward(params: Dict, audio0: jnp.ndarray, spect: jnp.ndarray,
                               valid_t=valid_t)
   c = n_channels
   half_k = kernel_size // 2
+  keep = None
+  if valid_t is not None:
+    valid = jnp.asarray(valid_t).reshape(-1, 1)  # scalar or per-batch [B]
+    keep = (jnp.arange(audio0.shape[1])[None, :] < valid)[..., None]
   # The residual stream x stays float32 in both modes (it accumulates over
   # n_layers adds); everything fatter than x is bf16 in fast mode.
   x = conv1x1(audio0, materialize(params["start"]), params["start"]["b"],
               compute_dtype=compute_dtype, out_dtype=jnp.float32)
+  if keep is not None:
+    x = jnp.where(keep, x, 0.0)
   w_cond = None
   if cond_all is None:
     # Per-layer cond matmuls (not one big [.., L, 2, C] projection): each
@@ -206,6 +220,10 @@ def wn_forward(params: Dict, audio0: jnp.ndarray, spect: jnp.ndarray,
       rs = _mm(acts, w_rs.reshape(c, 2 * c), compute_dtype)
       rs = rs.reshape(rs.shape[:-1] + (2, c)) + res_skip["b"].astype(rs.dtype)
       x = x + rs[..., 0, :].astype(jnp.float32)
+      if keep is not None:
+        # biases/cond make pad rows nonzero every layer; re-zero them so the
+        # NEXT layer's dilated taps see the unpadded call's zero boundary
+        x = jnp.where(keep, x, 0.0)
       skip = rs[..., 1, :]
     else:
       skip = _mm(acts, w_rs, compute_dtype) + res_skip["b"].astype(
