@@ -244,6 +244,11 @@ def main():
       "value": round(audio_sec_per_sec, 2),
       "unit": "audio-sec/s/chip",
       "vs_baseline": round(audio_sec_per_sec / 200.0, 3),
+      # dtype disclosure: the headline is the production bf16 serving mode;
+      # parity-mode f32 (the allclose-oracle configuration) measures
+      # ~56 audio-sec/s (docs/PERFORMANCE.md) — the 200x target is a bf16
+      # number
+      "headline_dtype_note": "bf16 production mode; parity f32 = 56.1",
       **extras,
   }
   print(json.dumps(result))
