@@ -176,6 +176,43 @@ def main():
       extras["streaming_first_chunk_audio_s"] = round(
           piece.shape[1] / hp.sampling_rate, 3)
       extras["streaming_chunk_frames"] = args.stream_chunk_frames
+
+      # Denoised streaming (the /stream default since round 4): raw chunks
+      # feed the windowed streaming denoiser; first denoised audio adds one
+      # small window program to the raw figure.
+      from waveglow_tpu.hparams import TSTFTHParams
+      from waveglow_tpu.inference.denoiser import Denoiser
+      from waveglow_tpu.inference.stream_denoise import StreamingDenoiser
+
+      dn = Denoiser(params, config, TSTFTHParams(), mode="zeros")
+      stft = dn.stft
+      edge = stft.filter_length - stft.hop_length
+      block = max(stft.hop_length,
+                  (args.stream_chunk_frames * 256 - 2 * edge
+                   + stft.filter_length // 2)
+                  // stft.hop_length * stft.hop_length)
+
+      def first_denoised(seed):
+        gen = stream_chunks(params, config, mel1, sigma=1.0,
+                            rng=jax.random.PRNGKey(seed),
+                            chunk_frames=args.stream_chunk_frames,
+                            compute_dtype=cdt, scan_flows=hp.scan_flows)
+        sd = StreamingDenoiser(dn, 0.0005, block_samples=block)
+        for _, raw_piece in gen:
+          out = sd.push(np.asarray(raw_piece)[0])
+          if out:
+            gen.close()
+            return out[0][1]
+        return sd.flush()[0][1]
+
+      first_denoised(0)  # compile the denoise window program
+      lat_dn = []
+      for i in range(args.latency_iters):
+        t0 = time.perf_counter()
+        first_denoised(300 + i)
+        lat_dn.append(time.perf_counter() - t0)
+      extras["streaming_first_audio_denoised_s_p50"] = round(
+          float(np.median(lat_dn)), 4)
     except Exception as e:  # latency bench is best-effort, like training:
       # the headline throughput JSON line must survive a failure here
       extras["latency_error"] = f"{type(e).__name__}: {e}"

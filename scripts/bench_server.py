@@ -135,7 +135,8 @@ def main():
     b = 2
     while b <= min(args.clients, service.max_batch):
       service.synth.infer_serving_many([mel] * b, seeds=list(range(b)),
-                                       bucket_frames=service.bucket_frames)
+                                       bucket_frames=service.bucket_frames,
+                                       pcm16=True)
       b *= 2
     hammer("warm-batched")
     concurrent_batched = hammer("batched")

@@ -260,11 +260,16 @@ class TestAdamStateImport:
 
   def _fake_adam_sd(self, sd, step=7):
     # exp_avg := the parameter itself, exp_avg_sq := its square — after the
-    # layout mapping, mu must equal params and nu their squares leafwise
+    # layout mapping, mu must equal params and nu their squares leafwise.
+    # Indices follow the canonical parameters() order, like a real torch
+    # optimizer's would.
+    from waveglow_tpu.checkpointing.export_torch import \
+        reference_parameter_order
+    names = reference_parameter_order(dict(sd))
     state = {i: {"step": torch.tensor(float(step)),
-                 "exp_avg": v.clone().float(),
-                 "exp_avg_sq": (v.clone().float() ** 2)}
-             for i, (k, v) in enumerate(sd.items())}
+                 "exp_avg": sd[name].clone().float(),
+                 "exp_avg_sq": (sd[name].clone().float() ** 2)}
+             for i, name in enumerate(names)}
     return {"state": state,
             "param_groups": [{"params": list(range(len(sd)))}]}
 
@@ -347,4 +352,36 @@ class TestAdamStateImport:
     assert back.optimizer is not None
     assert len(back.optimizer) == len(imported.optimizer)
     for a, b in zip(imported.optimizer, back.optimizer):
+      np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+  def test_export_import_adam_roundtrip(self):
+    """Native optax Adam state -> torch optimizer dict -> import: identical
+    leaves (the export/import layout transforms are mutual inverses on the
+    moment tensors, like they are on the weights)."""
+    from waveglow_tpu.checkpointing.export_torch import opt_leaves_to_torch_adam
+    from waveglow_tpu.checkpointing.import_torch import \
+        torch_adam_to_opt_leaves
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from waveglow_tpu.training.step import make_optimizer
+
+    ckpt, config, hp = native_checkpoint(seed=9)
+    params = ckpt.state_dict
+    # a real optax state with nonzero moments: two update() steps on fake
+    # grads (the params themselves)
+    opt = make_optimizer(1e-4)
+    state = opt.init(params)
+    grads = jax.tree_util.tree_map(jnp.asarray, params)
+    for _ in range(2):
+      _, state = opt.update(grads, state, params)
+    leaves = [np.asarray(x) for x in jax.tree_util.tree_leaves(state)]
+
+    torch_sd = opt_leaves_to_torch_adam(leaves, params, 1e-4)
+    sd = {k: v for k, v in params_to_state_dict(params).items()}
+    back = torch_adam_to_opt_leaves(torch_sd, sd, hp)
+    assert back is not None
+    assert len(back) == len(leaves)
+    for a, b in zip(leaves, back):
       np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

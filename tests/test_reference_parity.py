@@ -542,3 +542,69 @@ class TestTrainingTrajectoryParity:
     restart_loss2 = float(loss_grad(p2)[0])
     assert abs(restart_loss2 - ref_losses[1]) > \
         3 * abs(my_losses[1] - ref_losses[1])
+
+  def test_reference_resumes_from_exported_adam_state(self, tmp_path):
+    """The reverse direction: momentum built NATIVELY (optax) exports into
+    the reference's checkpoint format, the real torch Adam loads it
+    (train.py:241-250), and 2 continued steps on each side track — the
+    full bidirectional continue-train interop loop."""
+    import optax
+    from dataclasses import asdict
+
+    import jax
+
+    from waveglow_tpu.checkpointing.export_torch import export_torch_checkpoint
+    from waveglow_tpu.checkpointing.store import CheckpointWaveglow
+    from waveglow_tpu.training.step import make_optimizer
+
+    model, params, config, hp = make_pair(seed=12)
+    mel, audio = rand_mel_audio(frames=6, seed=12)
+    lr, sigma = 1e-3, 1.0
+
+    def loss_fn(p):
+      z, log_s, log_det = forward(p, config, jnp.asarray(mel),
+                                  jnp.asarray(audio))
+      return waveglow_loss(z, log_s, log_det, sigma)
+
+    loss_grad = jax.jit(jax.value_and_grad(loss_fn))
+    optimizer = make_optimizer(lr)
+    opt_state = optimizer.init(params)
+    for _ in range(3):  # native warmup: build momentum in optax
+      _, grads = loss_grad(params)
+      updates, opt_state = optimizer.update(grads, opt_state, params)
+      params = optax.apply_updates(params, updates)
+
+    ckpt = CheckpointWaveglow(
+        state_dict=jax.tree_util.tree_map(np.asarray, params),
+        optimizer=[np.asarray(x)
+                   for x in jax.tree_util.tree_leaves(opt_state)],
+        learning_rate=lr, iteration=3, hparams=asdict(hp))
+    path = tmp_path / "native_with_adam.pt"
+    export_torch_checkpoint(ckpt, path)
+
+    # reference side: load weights + optimizer exactly like train.py
+    payload = torch.load(str(path), map_location="cpu", weights_only=False)
+    model.load_state_dict(payload["state_dict"])
+    opt = torch.optim.Adam(model.parameters(), lr=lr)
+    opt.load_state_dict(payload["optimizer"])
+    criterion = ref.train.WaveGlowLoss(sigma=sigma)
+
+    ref_losses = []
+    for _ in range(2):
+      opt.zero_grad()
+      loss = criterion(model((torch.from_numpy(mel),
+                              torch.from_numpy(audio))), None)
+      ref_losses.append(float(loss))
+      loss.backward()
+      opt.step()
+
+    my_losses = []
+    for _ in range(2):
+      loss, grads = loss_grad(params)
+      my_losses.append(float(loss))
+      updates, opt_state = optimizer.update(grads, opt_state, params)
+      params = optax.apply_updates(params, updates)
+
+    for mine, theirs in zip(my_losses, ref_losses):
+      assert mine == pytest.approx(theirs, rel=1e-3)
+    assert abs(ref_losses[-1] - ref_losses[0]) > 1e-5

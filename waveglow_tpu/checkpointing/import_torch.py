@@ -178,7 +178,17 @@ def torch_adam_to_opt_leaves(opt_sd: Dict, torch_sd: Dict,
     logger.info("torch checkpoint has no Adam state; optimizer restarts")
     return None
   order = [i for g in groups for i in g.get("params", ())]
-  names = list(torch_sd.keys())
+  # canonical parameters() order, NOT dict insertion order: a reference
+  # state_dict already iterates in registration order, but checkpoints this
+  # framework exported carry the same keys in a different insertion order
+  from waveglow_tpu.checkpointing.export_torch import \
+      reference_parameter_order
+  try:
+    names = reference_parameter_order(dict(torch_sd))
+  except AssertionError:
+    logger.warning("state dict keys do not match the reference WaveGlow "
+                   "parameter layout; optimizer restarts")
+    return None
   if len(order) != len(names):
     logger.warning(
         "torch optimizer covers %d params but the state dict has %d "

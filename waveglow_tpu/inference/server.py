@@ -103,6 +103,7 @@ class _MicroBatcher:
     self._max_batch = max_batch
     self._window_s = max(0.0, batch_window_ms) / 1e3
     self._q: "queue.SimpleQueue[Optional[_BatchRequest]]" = queue.SimpleQueue()
+    self._finish_q: "queue.SimpleQueue" = queue.SimpleQueue()
     self._started = False
     self._start_lock = threading.Lock()
 
@@ -112,6 +113,8 @@ class _MicroBatcher:
       if not self._started:
         threading.Thread(target=self._loop, daemon=True,
                          name="waveglow-microbatch").start()
+        threading.Thread(target=self._finish_loop, daemon=True,
+                         name="waveglow-microbatch-finish").start()
         self._started = True
     req = _BatchRequest(mel, sigma, strength, seed, pcm16)
     self._q.put(req)
@@ -128,24 +131,51 @@ class _MicroBatcher:
     while True:
       first = self._q.get()
       if first is None:
+        self._finish_q.put(None)
         return
       batch = [first]
-      deadline = time.monotonic() + self._window_s
-      # drain more than one program's worth: serving_many_dispatch splits
-      # the drain into <=max_batch programs and submits them ALL before any
-      # fetch, so group k's fetch overlaps group k+1's device time
+      # rolling window: every arrival extends the deadline by window_s (a
+      # straggler re-request from a just-answered client still joins), with
+      # a hard cap of 4 windows from the first arrival so latency stays
+      # bounded; a full drain (4*max_batch) dispatches immediately
+      t0 = time.monotonic()
+      deadline = t0 + self._window_s
+      cap = t0 + 4 * self._window_s
       while len(batch) < 4 * self._max_batch:
         try:
-          remaining = deadline - time.monotonic()
+          remaining = min(deadline, cap) - time.monotonic()
           nxt = (self._q.get(timeout=remaining) if remaining > 0
                  else self._q.get_nowait())
         except queue.Empty:
           break
         if nxt is None:
           self._dispatch(batch)
+          self._finish_q.put(None)
           return
         batch.append(nxt)
+        deadline = time.monotonic() + self._window_s
       self._dispatch(batch)
+
+  def _finish_loop(self):
+    """Fetch dispatched batches and fan results out, OFF the dispatcher
+    thread — the dispatcher moves on to submit the next batch while this
+    thread blocks on the previous one's device->host transfer, keeping the
+    device stream fed."""
+    while True:
+      item = self._finish_q.get()
+      if item is None:
+        return
+      dispatched, reqs = item
+      try:
+        results = self._service.synth.serving_many_finalize(dispatched)
+        for r, res in zip(reqs, results):
+          r.result = res
+      except Exception as e:  # noqa: BLE001
+        for r in reqs:
+          r.error = e
+      finally:
+        for r in reqs:
+          r.done.set()
 
   def _bucket(self, frames: int) -> int:
     b = self._service.bucket_frames
@@ -162,33 +192,36 @@ class _MicroBatcher:
         with self._service._stats_lock:
           self._service.stats["batches"] += 1
           self._service.stats["batched_requests"] += len(reqs)
-      try:
-        if len(reqs) == 1:
-          r = reqs[0]
+      if len(reqs) == 1:
+        r = reqs[0]
+        try:
           with self._service._device_lock:
             r.result = self._service.synth.infer_serving(
                 r.mel, sigma=sigma, denoiser_strength=strength, seed=r.seed,
                 bucket_frames=self._service.bucket_frames or None,
                 pcm16=pcm16)
-        else:
-          # hold the lock only for program SUBMISSION — execution is async
-          # and queues in order on the device stream, so fetching these
-          # waveforms (finalize) overlaps the next group's device time
-          with self._service._device_lock:
-            dispatched = self._service.synth.serving_many_dispatch(
-                [r.mel for r in reqs], sigma=sigma,
-                denoiser_strength=strength, seeds=[r.seed for r in reqs],
-                bucket_frames=self._service.bucket_frames or None,
-                pcm16=pcm16, max_batch=self._max_batch)
-          results = self._service.synth.serving_many_finalize(dispatched)
-          for r, res in zip(reqs, results):
-            r.result = res
+        except Exception as e:  # noqa: BLE001
+          r.error = e
+        finally:
+          r.done.set()
+        continue
+      try:
+        # hold the lock only for program SUBMISSION — execution is async
+        # and queues in order on the device stream; the finisher thread
+        # fetches, so the dispatcher can submit the NEXT batch while this
+        # one's waveforms cross the link
+        with self._service._device_lock:
+          dispatched = self._service.synth.serving_many_dispatch(
+              [r.mel for r in reqs], sigma=sigma,
+              denoiser_strength=strength, seeds=[r.seed for r in reqs],
+              bucket_frames=self._service.bucket_frames or None,
+              pcm16=pcm16, max_batch=self._max_batch)
       except Exception as e:  # noqa: BLE001 — fan the failure out per request
         for r in reqs:
           r.error = e
-      finally:
-        for r in reqs:
           r.done.set()
+        continue
+      self._finish_q.put((dispatched, reqs))
 
 
 class SynthesisService:
