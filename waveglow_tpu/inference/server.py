@@ -165,11 +165,14 @@ class _MicroBatcher:
       item = self._finish_q.get()
       if item is None:
         return
-      dispatched, reqs = item
+      dispatched, reqs, many = item
       try:
-        results = self._service.synth.serving_many_finalize(dispatched)
-        for r, res in zip(reqs, results):
-          r.result = res
+        if many:
+          results = self._service.synth.serving_many_finalize(dispatched)
+          for r, res in zip(reqs, results):
+            r.result = res
+        else:
+          reqs[0].result = self._service.synth.serving_finalize(dispatched)
       except Exception as e:  # noqa: BLE001
         for r in reqs:
           r.error = e
@@ -192,36 +195,31 @@ class _MicroBatcher:
         with self._service._stats_lock:
           self._service.stats["batches"] += 1
           self._service.stats["batched_requests"] += len(reqs)
-      if len(reqs) == 1:
-        r = reqs[0]
-        try:
-          with self._service._device_lock:
-            r.result = self._service.synth.infer_serving(
-                r.mel, sigma=sigma, denoiser_strength=strength, seed=r.seed,
+      # hold the lock only for program SUBMISSION — execution is async
+      # and queues in order on the device stream; the finisher thread
+      # fetches, so the dispatcher can submit the NEXT batch (solo or
+      # grouped) while this one's waveforms cross the link. Solo requests
+      # keep the exact batch-1 program (serving_dispatch).
+      try:
+        with self._service._device_lock:
+          if len(reqs) == 1:
+            dispatched = self._service.synth.serving_dispatch(
+                reqs[0].mel, sigma=sigma, denoiser_strength=strength,
+                seed=reqs[0].seed,
                 bucket_frames=self._service.bucket_frames or None,
                 pcm16=pcm16)
-        except Exception as e:  # noqa: BLE001
-          r.error = e
-        finally:
-          r.done.set()
-        continue
-      try:
-        # hold the lock only for program SUBMISSION — execution is async
-        # and queues in order on the device stream; the finisher thread
-        # fetches, so the dispatcher can submit the NEXT batch while this
-        # one's waveforms cross the link
-        with self._service._device_lock:
-          dispatched = self._service.synth.serving_many_dispatch(
-              [r.mel for r in reqs], sigma=sigma,
-              denoiser_strength=strength, seeds=[r.seed for r in reqs],
-              bucket_frames=self._service.bucket_frames or None,
-              pcm16=pcm16, max_batch=self._max_batch)
+          else:
+            dispatched = self._service.synth.serving_many_dispatch(
+                [r.mel for r in reqs], sigma=sigma,
+                denoiser_strength=strength, seeds=[r.seed for r in reqs],
+                bucket_frames=self._service.bucket_frames or None,
+                pcm16=pcm16, max_batch=self._max_batch)
       except Exception as e:  # noqa: BLE001 — fan the failure out per request
         for r in reqs:
           r.error = e
           r.done.set()
         continue
-      self._finish_q.put((dispatched, reqs))
+      self._finish_q.put((dispatched, reqs, len(reqs) > 1))
 
 
 class SynthesisService:

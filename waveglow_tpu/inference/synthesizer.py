@@ -273,8 +273,15 @@ class Synthesizer:
 
   def _prepare_mel(self, mel, bucket_frames: Optional[int]):
     """Validate to [1, n_mels, frames]; bucket-pad with the log-clamp
-    silence floor. Returns (mel, true_samples before padding)."""
-    mel = jnp.asarray(mel, dtype=jnp.float32)
+    silence floor. Returns (mel, true_samples before padding).
+
+    Pure numpy on purpose: over a tunneled TPU every eager device op costs
+    a ~30 ms round trip, so preparing on host and letting the jitted call
+    move the finished mel in ONE transfer is materially cheaper than the
+    old jnp.asarray + jnp.pad pair (one upload + one device pad program per
+    request — the dominant non-device cost in the micro-batched serving
+    path, where a batch of B paid B uploads before one fused dispatch)."""
+    mel = np.asarray(mel, dtype=np.float32)
     if mel.ndim == 2:
       mel = mel[None]
     if mel.ndim != 3 or mel.shape[1] != self.config.n_mel_channels:
@@ -287,8 +294,8 @@ class Synthesizer:
     if bucket_frames is not None and bucket_frames > 0:
       padded = -(-frames // bucket_frames) * bucket_frames
       if padded != frames:
-        mel = jnp.pad(mel, ((0, 0), (0, 0), (0, padded - frames)),
-                      constant_values=float(np.log(CLIP_VAL)))
+        mel = np.pad(mel, ((0, 0), (0, 0), (0, padded - frames)),
+                     constant_values=float(np.log(CLIP_VAL)))
     return mel, true_samples
 
   def infer_serving(self, mel: np.ndarray, *, sigma: float = 1.0,
@@ -312,6 +319,20 @@ class Synthesizer:
     ``convert_wav(clip(wav), int16)`` on-device
     (tests/test_serving.py::TestInferServing pins both).
     """
+    return self.serving_finalize(self.serving_dispatch(
+        mel, sigma=sigma, denoiser_strength=denoiser_strength, seed=seed,
+        bucket_frames=bucket_frames, pcm16=pcm16))
+
+  def serving_dispatch(self, mel: np.ndarray, *, sigma: float = 1.0,
+                       denoiser_strength: float = 0.0005, seed: int = 0,
+                       bucket_frames: Optional[int] = 64,
+                       pcm16: bool = False):
+    """Asynchronously dispatch one :meth:`infer_serving` program; fetch
+    nothing. Returns an opaque record for :meth:`serving_finalize` —
+    the same submit/fetch split as :meth:`serving_many_dispatch`, kept
+    separate so solo requests retain the exact batch-1 program (the
+    micro-batcher's bit-for-bit solo contract) while its dispatcher
+    thread still hands the device->host fetch to the finisher."""
     timepoint = datetime.datetime.now()
     mel, true_samples = self._prepare_mel(mel, bucket_frames)
     start = time.perf_counter()
@@ -323,8 +344,13 @@ class Synthesizer:
     else:
       dn, pcm, max_abs = self._infer_packed_raw(
           self.params, mel, jnp.float32(sigma), key, jnp.int32(true_samples))
-    samples = np.asarray(pcm if pcm16 else dn)[0, :true_samples]
-    was_overamplified = bool(np.asarray(max_abs) > 1.0)
+    return (pcm if pcm16 else dn, max_abs, true_samples, start, timepoint)
+
+  def serving_finalize(self, dispatched) -> "ServingResult":
+    """Fetch a :meth:`serving_dispatch` record into a ServingResult."""
+    samples_dev, max_abs_dev, true_samples, start, timepoint = dispatched
+    samples = np.asarray(samples_dev)[0, :true_samples]
+    was_overamplified = bool(np.asarray(max_abs_dev) > 1.0)
     duration_s = time.perf_counter() - start
     return ServingResult(
         samples=samples, sampling_rate=self.hparams.sampling_rate,
@@ -400,10 +426,13 @@ class Synthesizer:
         while b < len(chunk):
           b *= 2
         rows = chunk + [chunk[-1]] * (b - len(chunk))
-        mel_batch = jnp.concatenate([prepared[i][0] for i in rows], axis=0)
-        seed_arr = jnp.asarray([seeds[i] for i in rows], dtype=jnp.uint32)
-        true_arr = jnp.asarray([prepared[i][1] for i in rows],
-                               dtype=jnp.int32)
+        # host-side stack: the whole batch crosses the tunnel as ONE
+        # transfer inside the jitted call below, instead of one ~30 ms
+        # upload per request plus a device concat (_prepare_mel docstring)
+        mel_batch = np.concatenate([prepared[i][0] for i in rows], axis=0)
+        seed_arr = np.asarray([seeds[i] for i in rows], dtype=np.uint32)
+        true_arr = np.asarray([prepared[i][1] for i in rows],
+                              dtype=np.int32)
         if denoiser_strength > 0:
           dn, pcm, max_abs = self._infer_packed_many(
               self.params, mel_batch, jnp.float32(sigma), seed_arr,
