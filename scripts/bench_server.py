@@ -13,7 +13,10 @@ Committed result: benchmarks/server_overhead_tpu.json.
 import argparse
 import io
 import json
+import os
+import subprocess
 import sys
+import tempfile
 import threading
 import time
 from pathlib import Path
@@ -21,6 +24,26 @@ from pathlib import Path
 import numpy as np
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def _worker_main(args):
+  """Out-of-process load client: its own interpreter (own GIL), stdlib+numpy
+  only — no jax import. Sleeps until the shared --start-at instant so all
+  workers hit the daemon simultaneously, then runs --per-client requests and
+  prints one JSON line with its own start/end timestamps (parent computes
+  aggregate wall = max(end) - min(start))."""
+  from waveglow_tpu.inference.client import SynthesisClient
+
+  client = SynthesisClient(args.url)
+  mel = np.load(args.mel_file, allow_pickle=False)
+  delay = args.start_at - time.time()
+  if delay > 0:
+    time.sleep(delay)
+  t0 = time.time()
+  for i in range(args.per_client):
+    client.synthesize_to_wav_bytes(mel, seed=args.seed_base + i)
+  t1 = time.time()
+  print(json.dumps({"start": t0, "end": t1, "n": args.per_client}))
 
 
 def main():
@@ -37,7 +60,23 @@ def main():
                   help="concurrent clients for the micro-batch section")
   ap.add_argument("--per-client", type=int, default=3)
   ap.add_argument("--skip-concurrency", action="store_true")
+  ap.add_argument("--client-procs", action="store_true",
+                  help="drive the concurrent section from SEPARATE client "
+                  "processes (own GILs) instead of in-process threads — the "
+                  "true server-under-load number, free of load-generator "
+                  "interpreter contention")
+  # hidden worker mode (spawned by --client-procs)
+  ap.add_argument("--worker", action="store_true", help=argparse.SUPPRESS)
+  ap.add_argument("--url", help=argparse.SUPPRESS)
+  ap.add_argument("--mel-file", help=argparse.SUPPRESS)
+  ap.add_argument("--seed-base", type=int, default=0, help=argparse.SUPPRESS)
+  ap.add_argument("--start-at", type=float, default=0.0,
+                  help=argparse.SUPPRESS)
   args = ap.parse_args()
+
+  if args.worker:
+    _worker_main(args)
+    return
 
   import jax
   if args.platform:
@@ -129,6 +168,46 @@ def main():
         wall = time.perf_counter() - t0
       total_audio = args.clients * args.per_client * utt_seconds
       return total_audio / wall
+
+    def hammer_procs(tag):
+      """Same load, but each client is its OWN PROCESS (own GIL): the
+      server's interpreter only runs server work, so this is the throughput
+      a fleet of network callers actually sees."""
+      with tempfile.NamedTemporaryFile(suffix=".npy", delete=False) as f:
+        np.save(f, mel, allow_pickle=False)
+        mel_path = f.name
+      # the workers must NEVER claim the TPU (one process per chip): strip
+      # every axon/jax knob so the sitecustomize hook stays dormant, and pin
+      # JAX_PLATFORMS=cpu in case anything still imports jax
+      env = {k: v for k, v in os.environ.items()
+             if not k.startswith(("JAX_", "XLA_", "PALLAS_", "AXON_", "TPU_"))}
+      env["JAX_PLATFORMS"] = "cpu"
+      try:
+        start_at = time.time() + 3.0  # cover interpreter + numpy startup
+        procs = [
+            subprocess.Popen(
+                [sys.executable, __file__, "--worker",
+                 "--url", f"http://127.0.0.1:{httpd.server_port}",
+                 "--mel-file", mel_path,
+                 "--per-client", str(args.per_client),
+                 "--seed-base", str(c * 1000 + hash(tag) % 97),
+                 "--start-at", f"{start_at:.6f}"],
+                stdout=subprocess.PIPE, env=env)
+            for c in range(args.clients)]
+        reports = []
+        for p in procs:
+          out, _ = p.communicate(timeout=600)
+          if p.returncode != 0:
+            raise RuntimeError(f"load worker failed (rc={p.returncode})")
+          reports.append(json.loads(out))
+      finally:
+        os.unlink(mel_path)
+      wall = max(r["end"] for r in reports) - min(r["start"] for r in reports)
+      total_audio = args.clients * args.per_client * utt_seconds
+      return total_audio / wall
+
+    if args.client_procs:
+      hammer = hammer_procs
 
     # compile every pow2 batched program a racing drain can produce, so no
     # XLA compile lands inside the measured wall time

@@ -301,6 +301,36 @@ class TestOveramplification:
     assert np.sign(wav[peak_idx]) == np.sign(direct[peak_idx])
 
 
+class TestStreamInterleaving:
+
+  def test_synthesize_completes_while_stream_open(self, service):
+    """The device lock is held per stream WINDOW, not per utterance: with a
+    stream generator open (first piece already pulled, more remaining), a
+    synthesize call from another thread must complete instead of queueing
+    behind the stream's full duration (it would deadlock/timeout here,
+    since this test never advances the stream while waiting)."""
+    import threading
+
+    mel = rand_mels(1, 24, seed=50)[0]
+    pieces = service.stream_mel(mel, seed=50, chunk_frames=4)
+    first = next(pieces)  # stream is mid-utterance, generator open
+    assert len(first) > 0
+    result = {}
+
+    def synth():
+      result["out"] = service.synthesize_mel_packed(
+          rand_mels(1, 10, seed=51)[0], seed=51)
+
+    t = threading.Thread(target=synth, daemon=True)
+    t.start()
+    t.join(timeout=60)
+    assert not t.is_alive(), "synthesize blocked behind an open stream"
+    assert result["out"].samples.shape == (10 * 256,)
+    rest = list(pieces)  # the stream still finishes intact
+    total = len(first) + sum(len(p) for p in rest)
+    assert total == 24 * 256
+
+
 class TestStreamDisconnect:
 
   def test_disconnect_mid_stream_releases_device(self, base_url, service):

@@ -356,7 +356,8 @@ class TestInferServingMany:
     assert np.abs(a.samples - b.samples).max() > 1e-3
 
   def test_batch_padding_rows_dropped(self, synth):
-    """3 requests pad to a 4-row program; outputs are per-request."""
+    """3 requests dispatch as 2+1 pow2 sub-batches (binary decomposition —
+    no padded rows); outputs are per-request."""
     mels = [rand_mels(1, 12, seed=s)[0] for s in (1, 2, 3)]
     out = synth.infer_serving_many(mels, seeds=[1, 2, 3], bucket_frames=16)
     assert len(out) == 3
@@ -393,6 +394,22 @@ class TestInferServingMany:
   def test_seed_count_mismatch_rejected(self, synth):
     with pytest.raises(ValueError):
       synth.infer_serving_many([rand_mels(1, 12)[0]], seeds=[1, 2])
+
+  def test_binary_decomposition_no_padded_rows(self, synth):
+    """A 5-request group dispatches as 4+1 (largest pow2 first), every
+    device row a real request — never a padded batch-8 program."""
+    mels = [rand_mels(1, 12, seed=s)[0] for s in range(5)]
+    dispatched = synth.serving_many_dispatch(
+        mels, seeds=list(range(5)), bucket_frames=16)
+    pending = dispatched[0]
+    sizes = [len(chunk) for chunk, _, _ in pending]
+    assert sizes == [4, 1]
+    for chunk, samples_dev, _ in pending:
+      assert samples_dev.shape[0] == len(chunk)  # zero padded rows
+    results = synth.serving_many_finalize(dispatched)
+    assert len(results) == 5
+    solo = synth.infer_serving(mels[4], seed=4, bucket_frames=16)
+    np.testing.assert_allclose(results[4].samples, solo.samples, atol=1e-5)
 
 
 class TestBucketExactness:

@@ -322,19 +322,34 @@ class SynthesisService:
     overlap-correct denoiser (waveglow_tpu.inference.stream_denoise), so
     the reassembled stream matches the non-streamed ``wav_denoised``.
     Pass ``denoiser_strength=0`` for the raw waveform.
+
+    The device lock is held per WINDOW, not for the whole utterance: a
+    long-running stream releases the device between chunks so concurrent
+    /synthesize micro-batches interleave instead of queueing behind the
+    stream for its full duration. A chunk synthesizes ~1.5 s of audio in
+    ~20 ms of device time, so even with batch programs interleaved between
+    every chunk the stream stays far ahead of realtime playback.
     """
     mel = self._check_mel(mel)
     n = 0.0
-    with self._device_lock:
-      for _, piece in self.synth.stream(
-          mel, sigma=self.default_sigma if sigma is None else sigma,
-          denoiser_strength=(self.default_denoiser_strength
-                             if denoiser_strength is None
-                             else denoiser_strength),
-          seed=seed, chunk_frames=chunk_frames or self.chunk_frames or 128,
-          pcm16=pcm16):
+    gen = self.synth.stream(
+        mel, sigma=self.default_sigma if sigma is None else sigma,
+        denoiser_strength=(self.default_denoiser_strength
+                           if denoiser_strength is None
+                           else denoiser_strength),
+        seed=seed, chunk_frames=chunk_frames or self.chunk_frames or 128,
+        pcm16=pcm16)
+    try:
+      while True:
+        with self._device_lock:
+          try:
+            _, piece = next(gen)
+          except StopIteration:
+            break
         n += len(piece) / self.sampling_rate
         yield piece
+    finally:
+      gen.close()
     self._count(n)
 
   # -- helpers ---------------------------------------------------------------
