@@ -301,6 +301,89 @@ class TestOveramplification:
     assert np.sign(wav[peak_idx]) == np.sign(direct[peak_idx])
 
 
+class TestAdmissionControl:
+
+  def test_saturated_service_returns_503(self, base_url, service):
+    """Past max_queue in-flight requests the daemon sheds with 503 +
+    Retry-After instead of queueing unboundedly (saturation is simulated
+    by pinning the in-flight counter to the limit)."""
+    rejected_before = service.stats["rejected"]
+    with service._inflight_lock:
+      service._inflight += service.max_queue
+    try:
+      with pytest.raises(urllib.error.HTTPError) as exc:
+        _post(base_url + "/synthesize?seed=60&format=npy", _mel_bytes(10))
+      assert exc.value.code == 503
+      assert exc.value.headers["Retry-After"] == "1"
+      assert "overloaded" in json.loads(exc.value.read())["error"]
+    finally:
+      with service._inflight_lock:
+        service._inflight -= service.max_queue
+    stats = service.snapshot_stats()
+    assert stats["rejected"] == rejected_before + 1
+    # shedding is load-dependent, not sticky: the next request succeeds
+    with _post(base_url + "/synthesize?seed=61&format=npy",
+               _mel_bytes(10)) as r:
+      assert r.status == 200
+
+  def test_concurrent_admission_releases(self, service):
+    """_admit/_release bracket every path: after a burst completes the
+    in-flight count returns to zero."""
+    import concurrent.futures
+
+    with concurrent.futures.ThreadPoolExecutor(4) as pool:
+      futs = [pool.submit(service.synthesize_mel_packed,
+                          rand_mels(1, 10, seed=s)[0], seed=s)
+              for s in range(6)]
+      for f in futs:
+        assert f.result().samples.shape == (10 * 256,)
+    assert service._inflight == 0
+
+  def test_client_retries_503_with_backoff(self, base_url, service):
+    """SynthesisClient backs off on 503 and succeeds once the daemon has
+    capacity again (saturation cleared by a timer mid-retry)."""
+    from waveglow_tpu.inference.client import SynthesisClient
+
+    client = SynthesisClient(base_url, retries_503=3)
+    with service._inflight_lock:
+      service._inflight += service.max_queue
+
+    def clear():
+      with service._inflight_lock:
+        service._inflight -= service.max_queue
+
+    timer = threading.Timer(0.5, clear)
+    timer.start()
+    try:
+      wav = client.synthesize(rand_mels(1, 10, seed=63)[0], seed=63)
+    finally:
+      timer.join()
+    assert wav.shape == (10 * 256,)
+
+    # retries exhausted -> the 503 propagates
+    with service._inflight_lock:
+      service._inflight += service.max_queue
+    try:
+      nowait = SynthesisClient(base_url, retries_503=0)
+      with pytest.raises(urllib.error.HTTPError) as exc:
+        nowait.synthesize(rand_mels(1, 10, seed=64)[0], seed=64)
+      assert exc.value.code == 503
+    finally:
+      with service._inflight_lock:
+        service._inflight -= service.max_queue
+
+  def test_stats_latency_percentiles(self, base_url, service):
+    with _post(base_url + "/synthesize?seed=62&format=npy",
+               _mel_bytes(10)) as r:
+      r.read()
+    stats = service.snapshot_stats()
+    lat = stats["latency_s"]
+    assert lat["count"] >= 1
+    assert 0 < lat["p50"] <= lat["p95"] <= lat["p99"]
+    assert stats["in_flight"] == 0
+    assert stats["max_queue"] == service.max_queue
+
+
 class TestStreamInterleaving:
 
   def test_synthesize_completes_while_stream_open(self, service):

@@ -57,6 +57,11 @@ def init_serve_parser(parser: ArgumentParser):
                       help="wait this long for companion requests before "
                            "dispatching (simultaneous arrivals batch even "
                            "on an idle device; 0 = dispatch immediately)")
+  parser.add_argument("--max-queue", type=parse_non_negative_integer,
+                      default=64,
+                      help="admission limit: reject requests with HTTP 503 "
+                           "once this many are in flight (queued + "
+                           "executing; 0 = never shed)")
   return _run
 
 
@@ -70,7 +75,8 @@ def _run(ns: Namespace) -> bool:
       custom_hparams=parse_custom_hparams(ns.custom_hparams),
       bucket_frames=ns.bucket_frames, chunk_frames=ns.chunk_frames,
       sigma=ns.sigma, denoiser_strength=ns.denoiser_strength,
-      max_batch=ns.max_batch, batch_window_ms=ns.batch_window_ms)
+      max_batch=ns.max_batch, batch_window_ms=ns.batch_window_ms,
+      max_queue=ns.max_queue)
   logger.info("Model ready; binding %s:%d", ns.host, ns.port)
   serve_forever(service, ns.host, ns.port)
   return True

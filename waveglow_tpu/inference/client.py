@@ -16,6 +16,8 @@ from __future__ import annotations
 
 import io
 import json
+import time
+import urllib.error
 import urllib.parse
 import urllib.request
 from typing import Dict, Iterator, Optional
@@ -27,11 +29,18 @@ _STREAM_READ_BYTES = 64 * 1024
 
 
 class SynthesisClient:
-  """Thin blocking client over one daemon base URL."""
+  """Thin blocking client over one daemon base URL.
 
-  def __init__(self, base_url: str, *, timeout_s: float = DEFAULT_TIMEOUT_S):
+  The daemon sheds load with HTTP 503 + Retry-After once ``max_queue``
+  requests are in flight; the client backs off and retries those up to
+  ``retries_503`` times (0 disables — the HTTPError propagates).
+  """
+
+  def __init__(self, base_url: str, *, timeout_s: float = DEFAULT_TIMEOUT_S,
+               retries_503: int = 2):
     self.base_url = base_url.rstrip("/")
     self.timeout_s = timeout_s
+    self.retries_503 = retries_503
 
   # -- queries ---------------------------------------------------------------
 
@@ -116,13 +125,30 @@ class SynthesisClient:
     return f"{self.base_url}{path}{query}"
 
   def _post(self, url: str, body: bytes):
-    req = urllib.request.Request(url, data=body, method="POST")
-    return urllib.request.urlopen(req, timeout=self.timeout_s)
+    attempt = 0
+    while True:
+      req = urllib.request.Request(url, data=body, method="POST")
+      try:
+        return urllib.request.urlopen(req, timeout=self.timeout_s)
+      except urllib.error.HTTPError as e:
+        if e.code != 503 or attempt >= self.retries_503:
+          raise
+        delay = _retry_after_s(e)
+        e.close()
+        time.sleep(min(delay * (attempt + 1), 10.0))
+        attempt += 1
 
   def _get_json(self, path: str) -> Dict:
     with urllib.request.urlopen(self._url(path),
                                 timeout=self.timeout_s) as resp:
       return json.loads(resp.read())
+
+
+def _retry_after_s(err: "urllib.error.HTTPError") -> float:
+  try:
+    return max(0.05, float(err.headers.get("Retry-After", 1.0)))
+  except (TypeError, ValueError):
+    return 1.0
 
 
 def _npy_bytes(arr: np.ndarray) -> bytes:

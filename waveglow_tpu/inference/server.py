@@ -19,9 +19,14 @@ TPU-serving defaults already measured in docs/PERFORMANCE.md:
     threads only overlap IO;
   * concurrent /synthesize traffic MICRO-BATCHES: requests that arrive while
     the device is busy are drained as a group, bucketed by length, and
-    dispatched through one fused batched program (``max_batch``, default 8)
-    at full MXU batch parallelism — solo requests still dispatch immediately
-    through the exact batch-1 program with zero added latency.
+    dispatched through power-of-two fused batched programs (binary
+    decomposition up to ``max_batch``, default 8) at full MXU batch
+    parallelism with zero padded rows — solo requests still dispatch
+    immediately through the exact batch-1 program with zero added latency;
+  * ADMISSION CONTROL sheds excess load: past ``max_queue`` in-flight
+    requests (default 64) new ones get an immediate HTTP 503 + Retry-After
+    instead of unbounded queueing; /stats reports request-latency
+    percentiles (p50/p95/p99), in-flight depth, and the rejected count.
 
 Endpoints (JSON errors, application/json):
 
@@ -60,6 +65,17 @@ import numpy as np
 logger = logging.getLogger(__name__)
 
 MAX_BODY_BYTES = 256 * 1024 * 1024
+
+
+class ServerOverloadedError(RuntimeError):
+  """Raised when admission control rejects a request (handler -> 503).
+
+  The round-3 daemon had no load-shedding policy: unbounded traffic queued
+  without limit, so every client's latency grew without bound and none got
+  an actionable signal. Production serving sheds instead — a bounded
+  in-flight admission count (``max_queue``) turns excess load into an
+  immediate 503 + Retry-After, which well-behaved callers back off on.
+  """
 
 
 class _BatchRequest:
@@ -228,7 +244,8 @@ class SynthesisService:
   def __init__(self, checkpoint, *, custom_hparams: Optional[Dict] = None,
                bucket_frames: int = 64, chunk_frames: Optional[int] = None,
                sigma: float = 1.0, denoiser_strength: float = 0.0005,
-               max_batch: int = 8, batch_window_ms: float = 5.0):
+               max_batch: int = 8, batch_window_ms: float = 5.0,
+               max_queue: int = 64):
     from waveglow_tpu.dsp.mel import MelSTFT
     from waveglow_tpu.inference.synthesizer import Synthesizer
 
@@ -247,9 +264,36 @@ class SynthesisService:
     self.max_batch = max_batch
     self._batcher = (_MicroBatcher(self, max_batch, batch_window_ms)
                      if max_batch > 1 and not chunk_frames else None)
+    # admission control: at most max_queue synthesis requests in flight
+    # (queued + executing, streams included); excess load is rejected with
+    # ServerOverloadedError (HTTP 503) instead of queueing unboundedly.
+    # 0 disables shedding.
+    self.max_queue = max_queue
+    self._inflight = 0
+    self._inflight_lock = threading.Lock()
+    # per-request wall latencies (seconds) for /stats percentiles
+    self._latencies: List[float] = []
+    self._latency_cap = 1024
     self.started = time.time()
     self.stats = {"requests": 0, "errors": 0, "audio_seconds": 0.0,
-                  "batched_requests": 0, "batches": 0}
+                  "batched_requests": 0, "batches": 0, "rejected": 0}
+
+  # -- admission control -----------------------------------------------------
+
+  def _admit(self):
+    """Count one request in; raise ServerOverloadedError past max_queue."""
+    with self._inflight_lock:
+      if self.max_queue and self._inflight >= self.max_queue:
+        with self._stats_lock:
+          self.stats["rejected"] += 1
+        raise ServerOverloadedError(
+            f"{self._inflight} requests in flight (max_queue="
+            f"{self.max_queue}); retry later")
+      self._inflight += 1
+
+  def _release(self):
+    with self._inflight_lock:
+      self._inflight -= 1
 
   # -- core operations ------------------------------------------------------
 
@@ -257,6 +301,15 @@ class SynthesisService:
                      denoiser_strength: Optional[float] = None,
                      seed: int = 0):
     mel = self._check_mel(mel)
+    self._admit()
+    try:
+      return self._synthesize_mel_admitted(mel, sigma, denoiser_strength,
+                                           seed)
+    finally:
+      self._release()
+
+  def _synthesize_mel_admitted(self, mel, sigma, denoiser_strength, seed):
+    t0 = time.perf_counter()
     with self._device_lock:
       result = self.synth.infer(
           mel,
@@ -266,7 +319,8 @@ class SynthesisService:
                              else denoiser_strength),
           seed=seed, bucket_frames=self.bucket_frames or None,
           chunk_frames=self.chunk_frames)
-    self._count(result.wav.shape[0] / self.sampling_rate)
+    self._count(result.wav.shape[0] / self.sampling_rate,
+                time.perf_counter() - t0)
     return result
 
   def synthesize_mel_packed(self, mel: np.ndarray, *,
@@ -280,9 +334,19 @@ class SynthesisService:
     sigma = self.default_sigma if sigma is None else sigma
     strength = (self.default_denoiser_strength if denoiser_strength is None
                 else denoiser_strength)
+    self._admit()
+    try:
+      return self._synthesize_packed_admitted(mel, sigma, strength, seed,
+                                              pcm16)
+    finally:
+      self._release()
+
+  def _synthesize_packed_admitted(self, mel, sigma, strength, seed, pcm16):
+    t0 = time.perf_counter()
     if self._batcher is not None:
       out = self._batcher.submit(mel, sigma, strength, seed, pcm16)
-      self._count(out.samples.shape[0] / self.sampling_rate)
+      self._count(out.samples.shape[0] / self.sampling_rate,
+                  time.perf_counter() - t0)
       return out
     with self._device_lock:
       if self.chunk_frames:
@@ -304,7 +368,8 @@ class SynthesisService:
         out = self.synth.infer_serving(
             mel, sigma=sigma, denoiser_strength=strength, seed=seed,
             bucket_frames=self.bucket_frames or None, pcm16=pcm16)
-    self._count(out.samples.shape[0] / self.sampling_rate)
+    self._count(out.samples.shape[0] / self.sampling_rate,
+                time.perf_counter() - t0)
     return out
 
   def synthesize_wav(self, wav: np.ndarray, **kw):
@@ -331,7 +396,9 @@ class SynthesisService:
     every chunk the stream stays far ahead of realtime playback.
     """
     mel = self._check_mel(mel)
+    self._admit()
     n = 0.0
+    t0 = time.perf_counter()
     gen = self.synth.stream(
         mel, sigma=self.default_sigma if sigma is None else sigma,
         denoiser_strength=(self.default_denoiser_strength
@@ -350,7 +417,8 @@ class SynthesisService:
         yield piece
     finally:
       gen.close()
-    self._count(n)
+      self._release()
+    self._count(n, time.perf_counter() - t0)
 
   # -- helpers ---------------------------------------------------------------
 
@@ -368,10 +436,16 @@ class SynthesisService:
           f"expected mel [{n_mels}, frames], got shape {tuple(mel.shape)}")
     return mel.astype(np.float32)
 
-  def _count(self, audio_seconds: float) -> None:
+  def _count(self, audio_seconds: float,
+             latency_s: Optional[float] = None) -> None:
     with self._stats_lock:
       self.stats["requests"] += 1
       self.stats["audio_seconds"] += audio_seconds
+      if latency_s is not None:
+        self._latencies.append(latency_s)
+        if len(self._latencies) > self._latency_cap:
+          # keep the newest half: recent traffic, O(1) amortized
+          del self._latencies[:self._latency_cap // 2]
 
   def health(self) -> Dict:
     hp = self.synth.hparams
@@ -383,14 +457,25 @@ class SynthesisService:
                   "compute_dtype": hp.compute_dtype},
         "serving": {"bucket_frames": self.bucket_frames,
                     "chunk_frames": self.chunk_frames,
-                    "max_batch": self.max_batch},
+                    "max_batch": self.max_batch,
+                    "max_queue": self.max_queue},
     }
 
   def snapshot_stats(self) -> Dict:
     with self._stats_lock:
       out = dict(self.stats)
+      lats = list(self._latencies)
     out["uptime_seconds"] = round(time.time() - self.started, 1)
     out["audio_seconds"] = round(out["audio_seconds"], 3)
+    with self._inflight_lock:
+      out["in_flight"] = self._inflight
+    out["max_queue"] = self.max_queue
+    if lats:
+      q = np.quantile(lats, [0.5, 0.95, 0.99])
+      out["latency_s"] = {
+          "count": len(lats), "mean": round(float(np.mean(lats)), 4),
+          "p50": round(float(q[0]), 4), "p95": round(float(q[1]), 4),
+          "p99": round(float(q[2]), 4)}
     return out
 
 
@@ -511,6 +596,17 @@ class _Handler(BaseHTTPRequestHandler):
       else:
         self._send_error_json(404, f"unknown path {route}")
         return
+    except ServerOverloadedError as e:
+      # admission control: shed load with an actionable signal (counted in
+      # stats["rejected"] by _admit, not in stats["errors"])
+      body = json.dumps({"error": f"overloaded: {e}"}).encode()
+      self.send_response(503)
+      self.send_header("Content-Type", "application/json")
+      self.send_header("Content-Length", str(len(body)))
+      self.send_header("Retry-After", "1")
+      self.end_headers()
+      self.wfile.write(body)
+      return
     except Exception as e:  # noqa: BLE001 — client errors become 400s
       self._send_error_json(400, f"{type(e).__name__}: {e}")
       return
