@@ -384,6 +384,63 @@ class TestAdmissionControl:
     assert stats["max_queue"] == service.max_queue
 
 
+class TestReloadAndMetrics:
+
+  def test_reload_hot_swaps_weights(self, base_url, service, tmp_path):
+    """POST /reload swaps the daemon's weights in place: same request,
+    different audio after, /healthz iteration updated, zero recompiles
+    (covered at the library level by TestHotReload)."""
+    from waveglow_tpu.inference.client import SynthesisClient
+
+    client = SynthesisClient(base_url)
+    mel = rand_mels(1, 10, seed=70)[0]
+    before = client.synthesize(mel, seed=70)
+    ck2 = tiny_checkpoint(seed=9, perturb_end=True)
+    path2 = tmp_path / "ck2.npz"
+    ck2.save(path2)
+    try:
+      out = client.reload(path2)
+      assert out["status"] == "reloaded"
+      assert out["iteration"] == ck2.iteration
+      after = client.synthesize(mel, seed=70)
+      assert np.abs(before - after).max() > 1e-4
+      assert client.health()["model"]["iteration"] == ck2.iteration
+      assert client.stats()["reloads"] >= 1
+    finally:
+      # the service fixture is module-scoped: restore the original weights
+      # (tiny_checkpoint is deterministic) for the tests that follow
+      orig = tmp_path / "orig.npz"
+      tiny_checkpoint(seed=1, perturb_end=True).save(orig)
+      client.reload(orig)
+    restored = client.synthesize(mel, seed=70)
+    np.testing.assert_allclose(restored, before, atol=1e-6)
+
+  def test_reload_bad_body_is_400(self, base_url):
+    with pytest.raises(urllib.error.HTTPError) as exc:
+      _post(base_url + "/reload", b'{"nope": 1}')
+    assert exc.value.code == 400
+
+  def test_reload_missing_file_is_400(self, base_url):
+    with pytest.raises(urllib.error.HTTPError) as exc:
+      _post(base_url + "/reload", b'{"checkpoint": "/no/such/ckpt.npz"}')
+    assert exc.value.code == 400
+
+  def test_metrics_prometheus_format(self, base_url, service):
+    from waveglow_tpu.inference.client import SynthesisClient
+
+    client = SynthesisClient(base_url)
+    client.synthesize(rand_mels(1, 10, seed=71)[0], seed=71)
+    text = client.metrics()
+    assert "# TYPE waveglow_requests_total counter" in text
+    assert "# TYPE waveglow_request_latency_seconds summary" in text
+    lines = dict(
+        line.rsplit(" ", 1) for line in text.splitlines()
+        if line and not line.startswith("#") and "{" not in line)
+    assert float(lines["waveglow_requests_total"]) >= 1
+    assert float(lines["waveglow_audio_seconds_total"]) > 0
+    assert float(lines["waveglow_in_flight"]) == 0
+
+
 class TestStreamInterleaving:
 
   def test_synthesize_completes_while_stream_open(self, service):

@@ -412,6 +412,55 @@ class TestInferServingMany:
     np.testing.assert_allclose(results[4].samples, solo.samples, atol=1e-5)
 
 
+class TestHotReload:
+  """Synthesizer.update_params: zero-recompile weight hot-swap."""
+
+  def test_swaps_weights_without_retrace(self):
+    from waveglow_tpu.inference.synthesizer import Synthesizer
+
+    synth = Synthesizer(tiny_checkpoint(seed=3, perturb_end=True))
+    mel = rand_mels(1, 12, seed=0)[0]
+    a = synth.infer_serving(mel, seed=5, bucket_frames=16)
+    b_classic = synth.infer(mel, seed=5, bucket_frames=16)
+    caches = (synth._infer_packed._cache_size(),
+              synth._infer_keyed._cache_size(),
+              synth._denoise_jit._cache_size())
+
+    ck2 = tiny_checkpoint(seed=9, perturb_end=True)
+    assert synth.update_params(ck2) == synth.iteration
+    a2 = synth.infer_serving(mel, seed=5, bucket_frames=16)
+    c2 = synth.infer(mel, seed=5, bucket_frames=16)
+    # the swap actually changed the audio (weights AND denoiser bias)...
+    assert np.abs(a.samples - a2.samples).max() > 1e-4
+    assert np.abs(b_classic.wav_denoised - c2.wav_denoised).max() > 1e-4
+    # ...without invalidating a single compiled program
+    assert (synth._infer_packed._cache_size(),
+            synth._infer_keyed._cache_size(),
+            synth._denoise_jit._cache_size()) == caches
+    # and matches a Synthesizer built fresh from the same checkpoint
+    fresh = Synthesizer(ck2)
+    f = fresh.infer_serving(mel, seed=5, bucket_frames=16)
+    np.testing.assert_allclose(a2.samples, f.samples, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(synth._bias), np.asarray(fresh._bias), atol=0)
+
+  def test_rejects_architecture_change(self):
+    from dataclasses import asdict
+
+    from waveglow_tpu.inference.synthesizer import Synthesizer
+    from waveglow_tpu.models.waveglow import init_params
+
+    synth = Synthesizer(tiny_checkpoint(seed=3))
+    hp = overwrite_custom_hparams(
+        HParams(), {**parse_custom_hparams(TINY), "n_flows": "3"})
+    config = WaveGlowConfig.from_hparams(hp)
+    other = CheckpointWaveglow(
+        state_dict=init_params(config, seed=0), optimizer=None,
+        learning_rate=hp.learning_rate, iteration=1, hparams=asdict(hp))
+    with pytest.raises(ValueError, match="architecture"):
+      synth.update_params(other)
+
+
 class TestBucketExactness:
   """Round-4 exactness contract: bucket padding changes NOTHING about the
   kept samples — every serving path (classic, fused single-fetch, chunked

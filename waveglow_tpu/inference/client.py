@@ -50,6 +50,19 @@ class SynthesisClient:
   def stats(self) -> Dict:
     return self._get_json("/stats")
 
+  def metrics(self) -> str:
+    """Prometheus text exposition from GET /metrics."""
+    with urllib.request.urlopen(self._url("/metrics"),
+                                timeout=self.timeout_s) as resp:
+      return resp.read().decode()
+
+  def reload(self, checkpoint_path: str) -> Dict:
+    """Hot-swap the daemon's weights from a checkpoint on ITS filesystem
+    (same architecture only; POST /reload)."""
+    body = json.dumps({"checkpoint": str(checkpoint_path)}).encode()
+    with self._post(self._url("/reload"), body) as resp:
+      return json.loads(resp.read())
+
   # -- synthesis ---------------------------------------------------------------
 
   def synthesize(self, mel: np.ndarray, *, sigma: Optional[float] = None,

@@ -79,9 +79,17 @@ class Denoiser:
     # [1, cutoff, 1]
     self.bias_spec = np.asarray(capture(params, mel_input))
 
-  def __call__(self, audio: jnp.ndarray, strength: float) -> jnp.ndarray:
-    """[B, T] -> denoised [B, T'] (iSTFT trims to frame-aligned length)."""
+  def __call__(self, audio: jnp.ndarray, strength: float,
+               bias_spec: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """[B, T] -> denoised [B, T'] (iSTFT trims to frame-aligned length).
+
+    ``bias_spec`` overrides the captured bias — callers that jit this
+    (Synthesizer's fused serving programs) pass it as a traced ARGUMENT so
+    a checkpoint hot-swap (Synthesizer.update_params) replaces the bias
+    without invalidating any compiled program; omitted, the instance's own
+    capture is inlined as a constant (the reference's one-model semantics).
+    """
     audio_spec, audio_angles = self.stft.transform(audio)
-    denoised_spec = jnp.clip(
-        audio_spec - jnp.asarray(self.bias_spec) * strength, min=0.0)
+    bias = jnp.asarray(self.bias_spec if bias_spec is None else bias_spec)
+    denoised_spec = jnp.clip(audio_spec - bias * strength, min=0.0)
     return self.stft.inverse(denoised_spec, audio_angles)

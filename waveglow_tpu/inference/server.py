@@ -31,7 +31,11 @@ TPU-serving defaults already measured in docs/PERFORMANCE.md:
 Endpoints (JSON errors, application/json):
 
   GET  /healthz               -> {"status": "ok", model/config summary}
-  GET  /stats                 -> request counters, synthesized audio seconds
+  GET  /stats                 -> counters, latency percentiles, in-flight
+  GET  /metrics               -> the same in Prometheus text format
+  POST /reload                body: JSON {"checkpoint": "<daemon-side
+                              path>"}; zero-recompile weight hot-swap
+                              (same architecture only)
   POST /synthesize            body: .npy mel [n_mels, frames] (float32)
   POST /synthesize-wav        body: .wav file (copy synthesis)
   POST /stream                body: .npy mel; response: PCM16 chunks
@@ -276,7 +280,8 @@ class SynthesisService:
     self._latency_cap = 1024
     self.started = time.time()
     self.stats = {"requests": 0, "errors": 0, "audio_seconds": 0.0,
-                  "batched_requests": 0, "batches": 0, "rejected": 0}
+                  "batched_requests": 0, "batches": 0, "rejected": 0,
+                  "reloads": 0}
 
   # -- admission control -----------------------------------------------------
 
@@ -377,6 +382,25 @@ class SynthesisService:
     mel = np.asarray(self.mel_op.get_mel(np.asarray(wav, dtype=np.float32)))
     return self.synthesize_mel_packed(mel, **kw)
 
+  def reload(self, checkpoint_path: str) -> Dict:
+    """Hot-swap the serving weights from a checkpoint on the DAEMON's
+    filesystem (Synthesizer.update_params: zero recompiles; architecture
+    changes are rejected — restart for those). The swap runs under the
+    device lock so it serializes with dispatches; requests submitted
+    before the swap complete on the old weights, requests after use the
+    new ones, and in-flight streams keep the weights they started with.
+    Trusts the caller (bind the daemon to loopback or a private network).
+    """
+    from waveglow_tpu.checkpointing import load_checkpoint_any
+
+    checkpoint = load_checkpoint_any(checkpoint_path)
+    with self._device_lock:
+      iteration = self.synth.update_params(checkpoint)
+    with self._stats_lock:
+      self.stats["reloads"] += 1
+    return {"status": "reloaded", "iteration": int(iteration),
+            "checkpoint": str(checkpoint_path)}
+
   def stream_mel(self, mel: np.ndarray, *, sigma: Optional[float] = None,
                  denoiser_strength: Optional[float] = None, seed: int = 0,
                  chunk_frames: Optional[int] = None, pcm16: bool = False):
@@ -454,7 +478,8 @@ class SynthesisService:
         "model": {"n_flows": hp.n_flows, "n_channels": hp.n_channels,
                   "n_layers": hp.n_layers, "n_mel_channels": hp.n_mel_channels,
                   "sampling_rate": hp.sampling_rate,
-                  "compute_dtype": hp.compute_dtype},
+                  "compute_dtype": hp.compute_dtype,
+                  "iteration": int(self.synth.iteration)},
         "serving": {"bucket_frames": self.bucket_frames,
                     "chunk_frames": self.chunk_frames,
                     "max_batch": self.max_batch,
@@ -477,6 +502,48 @@ class SynthesisService:
           "p50": round(float(q[0]), 4), "p95": round(float(q[1]), 4),
           "p99": round(float(q[2]), 4)}
     return out
+
+  def prometheus_metrics(self) -> str:
+    """/stats in Prometheus text exposition format (GET /metrics) so a
+    standard scraper monitors the daemon without an adapter."""
+    s = self.snapshot_stats()
+    lines = []
+
+    def metric(name, mtype, value, help_text):
+      lines.append(f"# HELP {name} {help_text}")
+      lines.append(f"# TYPE {name} {mtype}")
+      lines.append(f"{name} {value}")
+
+    metric("waveglow_requests_total", "counter", s["requests"],
+           "Completed synthesis requests")
+    metric("waveglow_errors_total", "counter", s["errors"],
+           "Requests answered with an error status")
+    metric("waveglow_rejected_total", "counter", s["rejected"],
+           "Requests shed by admission control (HTTP 503)")
+    metric("waveglow_reloads_total", "counter", s["reloads"],
+           "Checkpoint hot-swaps performed")
+    metric("waveglow_batches_total", "counter", s["batches"],
+           "Micro-batched device dispatches of more than one request")
+    metric("waveglow_batched_requests_total", "counter",
+           s["batched_requests"], "Requests served through micro-batches")
+    metric("waveglow_audio_seconds_total", "counter",
+           s["audio_seconds"], "Audio seconds synthesized")
+    metric("waveglow_in_flight", "gauge", s["in_flight"],
+           "Requests currently admitted (queued + executing)")
+    metric("waveglow_uptime_seconds", "gauge", s["uptime_seconds"],
+           "Seconds since daemon start")
+    if "latency_s" in s:
+      lat = s["latency_s"]
+      lines.append("# HELP waveglow_request_latency_seconds "
+                   "Request wall latency")
+      lines.append("# TYPE waveglow_request_latency_seconds summary")
+      for qt, key in (("0.5", "p50"), ("0.95", "p95"), ("0.99", "p99")):
+        lines.append("waveglow_request_latency_seconds"
+                     f'{{quantile="{qt}"}} {lat[key]}')
+      lines.append("waveglow_request_latency_seconds_sum "
+                   f"{round(lat['mean'] * lat['count'], 4)}")
+      lines.append(f"waveglow_request_latency_seconds_count {lat['count']}")
+    return "\n".join(lines) + "\n"
 
 
 def _pcm16(wav: np.ndarray) -> np.ndarray:
@@ -556,6 +623,14 @@ class _Handler(BaseHTTPRequestHandler):
       self._send_json(200, self.service.health())
     elif route == "/stats":
       self._send_json(200, self.service.snapshot_stats())
+    elif route == "/metrics":
+      body = self.service.prometheus_metrics().encode()
+      self.send_response(200)
+      self.send_header("Content-Type",
+                       "text/plain; version=0.0.4; charset=utf-8")
+      self.send_header("Content-Length", str(len(body)))
+      self.end_headers()
+      self.wfile.write(body)
     else:
       self._send_error_json(404, f"unknown path {route}")
 
@@ -570,6 +645,13 @@ class _Handler(BaseHTTPRequestHandler):
       if fmt not in ("wav", "npy"):
         raise ValueError(f"format must be wav or npy, got {fmt!r}")
       body = self._read_body()
+
+      if route == "/reload":
+        payload = json.loads(body)
+        if not isinstance(payload, dict) or "checkpoint" not in payload:
+          raise ValueError('body must be JSON {"checkpoint": "<path>"}')
+        self._send_json(200, self.service.reload(payload["checkpoint"]))
+        return
 
       pcm16 = fmt == "wav"  # int16 conversion happens on-device
       if route == "/synthesize":

@@ -90,8 +90,13 @@ class Synthesizer:
     # (docs/PARITY.md, denoiser section) at no measurable cost.
     self.denoiser = Denoiser(self.params, self.config, hparams,
                              mode="zeros", compute_dtype=None)
+    # device-resident bias, passed to the fused programs as a traced
+    # ARGUMENT (not a closure constant) so update_params can hot-swap it
+    self._bias = jax.device_put(jnp.asarray(self.denoiser.bias_spec))
+    self.iteration = checkpoint.iteration
 
     config = self.config
+    denoiser = self.denoiser  # early-bound: reloads swap self._bias instead
 
     scan = hparams.scan_flows
 
@@ -107,13 +112,10 @@ class Synthesizer:
       return infer(params, config, mel, sigma=sigma, noise=noise,
                    compute_dtype=cdt, scan_flows=scan)
 
-    def _denoise(params_unused, wav, strength):
-      return self.denoiser(wav, strength)
-
     self._infer_keyed = jax.jit(_infer_keyed)
     self._infer_noise = jax.jit(_infer_noise)
-    self._denoise_jit = jax.jit(lambda wav, strength:
-                                self.denoiser(wav, strength))
+    self._denoise_jit = jax.jit(lambda wav, strength, bias:
+                                denoiser(wav, strength, bias))
 
     # Single-fetch serving programs: synthesis + denoise + on-device PCM16
     # + overamp max fused into ONE dispatch, so a request pays one program
@@ -128,12 +130,12 @@ class Synthesizer:
 
     from waveglow_tpu.inference.streaming import pcm16_on_device as _pcm16_dev
 
-    def _infer_packed(params, mel, sigma, key, strength, true_n):
+    def _infer_packed(params, mel, sigma, key, strength, true_n, bias):
       wav = infer(params, config, mel, sigma=sigma, rng=key,
                   compute_dtype=cdt, scan_flows=scan,
                   true_frames=true_n // UPSAMPLE_STRIDE)
       max_abs = _packed_outputs(wav, true_n)
-      dn = self.denoiser(wav, strength)
+      dn = denoiser(wav, strength, bias)
       pad = wav.shape[-1] - dn.shape[-1]
       if pad > 0:  # iSTFT is frame-aligned; restore the static sample count
         dn = jnp.pad(dn, ((0, 0), (0, pad)))
@@ -169,13 +171,13 @@ class Synthesizer:
       return jax.vmap(lambda s: _row_noise(s, mel_batch.shape[-1]))(seeds)
 
     def _infer_packed_many(params, mel_batch, sigma, seeds, strength,
-                           true_ns):
+                           true_ns, bias):
       noise = _batch_noise(mel_batch, seeds)
       wav = infer(params, config, mel_batch, sigma=sigma, noise=noise,
                   compute_dtype=cdt, scan_flows=scan,
                   true_frames=true_ns // UPSAMPLE_STRIDE)
       max_abs = _batch_outputs(wav, true_ns)
-      dn = self.denoiser(wav, strength)
+      dn = denoiser(wav, strength, bias)
       pad = wav.shape[-1] - dn.shape[-1]
       if pad > 0:
         dn = jnp.pad(dn, ((0, 0), (0, pad)))
@@ -191,6 +193,56 @@ class Synthesizer:
 
     self._infer_packed_many = jax.jit(_infer_packed_many)
     self._infer_packed_many_raw = jax.jit(_infer_packed_many_raw)
+
+  def update_params(self, checkpoint: CheckpointWaveglow, *,
+                    custom_hparams: Optional[Dict[str, str]] = None) -> int:
+    """Hot-swap model weights WITHOUT recompiling any program.
+
+    Every jitted program takes the params pytree (and the denoiser bias)
+    as traced arguments, so swapping in a same-architecture checkpoint —
+    a newly fine-tuned iteration of the serving model, say — keeps every
+    compiled XLA program valid: upload the fused weights, re-capture the
+    denoiser bias through the lru-cached capture program (already compiled
+    for this config), and replace the device references. No counterpart in
+    the reference (one Synthesizer per checkpoint, synthesizer.py:31-44);
+    a production daemon can't afford minutes of recompiles per rollout.
+
+    Checkpoints with a different architecture are rejected — the compiled
+    programs' shapes would be invalid (restart to change architecture).
+    Returns the new checkpoint's iteration. In-flight streams keep the
+    params/bias they started with (pinned at generator start).
+    """
+    hparams = checkpoint.get_hparams()
+    hparams = overwrite_custom_hparams(hparams, custom_hparams)
+    new_config = WaveGlowConfig.from_hparams(hparams)
+    if new_config != self.config:
+      raise ValueError(
+          f"checkpoint architecture {new_config} does not match the "
+          f"serving model {self.config}; hot-swap is weights-only — "
+          "restart to change architecture")
+    fused = fuse_for_inference(checkpoint.state_dict)
+
+    def _check(path, old, new):
+      if np.shape(old) != np.shape(new):
+        raise ValueError(
+            f"param {jax.tree_util.keystr(path)} shape "
+            f"{np.shape(new)} != serving shape {np.shape(old)}")
+      return new
+
+    # tree_map_with_path also rejects tree-structure mismatches outright
+    fused = jax.tree_util.tree_map_with_path(_check, self.params, fused)
+    new_params = jax.device_put(fused)
+    new_denoiser = Denoiser(new_params, self.config, self.hparams,
+                            mode="zeros", compute_dtype=None)
+    # swap order: bias+denoiser first, params last — a racing dispatch sees
+    # a consistent-enough pair either way (bias only shapes the subtracted
+    # floor), and after this returns every new program call uses the pair
+    self.denoiser = new_denoiser
+    self._bias = jax.device_put(jnp.asarray(new_denoiser.bias_spec))
+    self.params = new_params
+    self.iteration = checkpoint.iteration
+    logger.info("Hot-swapped weights to iteration %s", checkpoint.iteration)
+    return checkpoint.iteration
 
   def infer(self, mel: np.ndarray, *, sigma: float = 1.0,
             denoiser_strength: float = 0.0005, seed: int = 0,
@@ -258,7 +310,8 @@ class Synthesizer:
     wav_denoised = wav
     if denoiser_strength > 0:
       start_dn = time.perf_counter()
-      wav_denoised = self._denoise_jit(wav, jnp.float32(denoiser_strength))
+      wav_denoised = self._denoise_jit(wav, jnp.float32(denoiser_strength),
+                                       self._bias)
       wav_denoised.block_until_ready()
       denoising_duration_s = time.perf_counter() - start_dn
 
@@ -340,7 +393,8 @@ class Synthesizer:
     if denoiser_strength > 0:
       dn, pcm, max_abs = self._infer_packed(
           self.params, mel, jnp.float32(sigma), key,
-          jnp.float32(denoiser_strength), jnp.int32(true_samples))
+          jnp.float32(denoiser_strength), jnp.int32(true_samples),
+          self._bias)
     else:
       dn, pcm, max_abs = self._infer_packed_raw(
           self.params, mel, jnp.float32(sigma), key, jnp.int32(true_samples))
@@ -445,7 +499,7 @@ class Synthesizer:
         if denoiser_strength > 0:
           dn, pcm, max_abs = self._infer_packed_many(
               self.params, mel_batch, jnp.float32(sigma), seed_arr,
-              jnp.float32(denoiser_strength), true_arr)
+              jnp.float32(denoiser_strength), true_arr, self._bias)
         else:
           dn, pcm, max_abs = self._infer_packed_many_raw(
               self.params, mel_batch, jnp.float32(sigma), seed_arr, true_arr)
