@@ -210,7 +210,8 @@ def main():
       hammer = hammer_procs
 
     # compile every pow2 batched program a racing drain can produce, so no
-    # XLA compile lands inside the measured wall time
+    # XLA compile lands inside the measured wall time (size-1 remainders
+    # route through the solo program, already warmed by the latency section)
     b = 2
     while b <= min(args.clients, service.max_batch):
       service.synth.infer_serving_many([mel] * b, seeds=list(range(b)),

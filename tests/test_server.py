@@ -15,6 +15,7 @@ import pytest
 from scipy.io import wavfile
 
 from tests.test_serving import TINY, rand_mels, tiny_checkpoint
+from waveglow_tpu.checkpointing.store import CheckpointWaveglow
 from waveglow_tpu.inference.server import SynthesisService, make_server
 
 BUCKET = 16
@@ -395,16 +396,18 @@ class TestReloadAndMetrics:
     client = SynthesisClient(base_url)
     mel = rand_mels(1, 10, seed=70)[0]
     before = client.synthesize(mel, seed=70)
+    assert client.health()["model"]["iteration"] == 100
     ck2 = tiny_checkpoint(seed=9, perturb_end=True)
+    ck2.iteration = 580123  # distinct, so the update is observable
     path2 = tmp_path / "ck2.npz"
     ck2.save(path2)
     try:
       out = client.reload(path2)
       assert out["status"] == "reloaded"
-      assert out["iteration"] == ck2.iteration
+      assert out["iteration"] == 580123
       after = client.synthesize(mel, seed=70)
       assert np.abs(before - after).max() > 1e-4
-      assert client.health()["model"]["iteration"] == ck2.iteration
+      assert client.health()["model"]["iteration"] == 580123
       assert client.stats()["reloads"] >= 1
     finally:
       # the service fixture is module-scoped: restore the original weights
@@ -414,6 +417,32 @@ class TestReloadAndMetrics:
       client.reload(orig)
     restored = client.synthesize(mel, seed=70)
     np.testing.assert_allclose(restored, before, atol=1e-6)
+
+  def test_reload_applies_serve_time_custom_hparams(self, tmp_path):
+    """A daemon started with config-affecting --custom-hparams must apply
+    the SAME overrides when judging a reload candidate's architecture —
+    dropping them made every hot-swap a spurious 'architecture mismatch'
+    (checkpoint hparams say 12 flows, overridden serving config says 2)."""
+    from dataclasses import asdict
+
+    from waveglow_tpu.hparams import HParams, parse_custom_hparams
+
+    ck = tiny_checkpoint(seed=2, perturb_end=True)
+    # checkpoint whose EMBEDDED hparams are the full defaults; the tiny
+    # architecture comes entirely from serve-time overrides
+    mismarked = CheckpointWaveglow(
+        state_dict=ck.state_dict, optimizer=None,
+        learning_rate=ck.learning_rate, iteration=7,
+        hparams=asdict(HParams()))
+    svc = SynthesisService(mismarked,
+                           custom_hparams=parse_custom_hparams(TINY),
+                           bucket_frames=BUCKET, max_batch=1)
+    path = tmp_path / "mismarked.npz"
+    mismarked.save(path)
+    out = svc.reload(str(path))
+    assert out["iteration"] == 7
+    res = svc.synthesize_mel_packed(rand_mels(1, 10, seed=72)[0], seed=72)
+    assert res.samples.shape == (10 * 256,)
 
   def test_reload_bad_body_is_400(self, base_url):
     with pytest.raises(urllib.error.HTTPError) as exc:

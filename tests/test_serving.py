@@ -408,8 +408,11 @@ class TestInferServingMany:
       assert samples_dev.shape[0] == len(chunk)  # zero padded rows
     results = synth.serving_many_finalize(dispatched)
     assert len(results) == 5
+    # the size-1 remainder routes through the SOLO batch-1 program (always
+    # pre-compiled by solo traffic — a batch-1 _infer_packed_many would be
+    # a distinct never-warmed jit), so it equals infer_serving EXACTLY
     solo = synth.infer_serving(mels[4], seed=4, bucket_frames=16)
-    np.testing.assert_allclose(results[4].samples, solo.samples, atol=1e-5)
+    np.testing.assert_array_equal(results[4].samples, solo.samples)
 
 
 class TestHotReload:
@@ -427,7 +430,9 @@ class TestHotReload:
               synth._denoise_jit._cache_size())
 
     ck2 = tiny_checkpoint(seed=9, perturb_end=True)
-    assert synth.update_params(ck2) == synth.iteration
+    ck2.iteration = 4242  # distinct from the serving model's (100)
+    assert synth.update_params(ck2) == 4242
+    assert synth.iteration == 4242
     a2 = synth.infer_serving(mel, seed=5, bucket_frames=16)
     c2 = synth.infer(mel, seed=5, bucket_frames=16)
     # the swap actually changed the audio (weights AND denoiser bias)...

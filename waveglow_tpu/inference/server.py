@@ -254,6 +254,10 @@ class SynthesisService:
     from waveglow_tpu.inference.synthesizer import Synthesizer
 
     self.synth = Synthesizer(checkpoint, custom_hparams=custom_hparams)
+    # kept for /reload: update_params must apply the SAME serve-time
+    # overrides, or a daemon started with config-affecting custom hparams
+    # would spuriously reject every hot-swap as an architecture mismatch
+    self.custom_hparams = custom_hparams
     self.mel_op = MelSTFT(self.synth.hparams)
     self.bucket_frames = bucket_frames
     self.chunk_frames = chunk_frames
@@ -275,9 +279,13 @@ class SynthesisService:
     self.max_queue = max_queue
     self._inflight = 0
     self._inflight_lock = threading.Lock()
-    # per-request wall latencies (seconds) for /stats percentiles
+    # per-request wall latencies (seconds): a trimmed window for /stats
+    # percentiles plus CUMULATIVE sum/count for the Prometheus summary
+    # (_sum/_count must be monotonic counters — a scraper rates them)
     self._latencies: List[float] = []
     self._latency_cap = 1024
+    self._latency_total_n = 0
+    self._latency_total_sum = 0.0
     self.started = time.time()
     self.stats = {"requests": 0, "errors": 0, "audio_seconds": 0.0,
                   "batched_requests": 0, "batches": 0, "rejected": 0,
@@ -288,13 +296,26 @@ class SynthesisService:
   def _admit(self):
     """Count one request in; raise ServerOverloadedError past max_queue."""
     with self._inflight_lock:
-      if self.max_queue and self._inflight >= self.max_queue:
-        with self._stats_lock:
-          self.stats["rejected"] += 1
-        raise ServerOverloadedError(
-            f"{self._inflight} requests in flight (max_queue="
-            f"{self.max_queue}); retry later")
+      self._reject_if_saturated()
       self._inflight += 1
+
+  def check_capacity(self):
+    """Early shed point for transports: raise ServerOverloadedError while
+    the daemon is saturated, BEFORE the caller buffers a request body (up
+    to 256 MB) it would only throw away. Advisory — _admit() still
+    enforces at dispatch, and a request passing both points is rejected at
+    most once (the raise happens at whichever check it fails first)."""
+    with self._inflight_lock:
+      self._reject_if_saturated()
+
+  def _reject_if_saturated(self):
+    # caller holds _inflight_lock
+    if self.max_queue and self._inflight >= self.max_queue:
+      with self._stats_lock:
+        self.stats["rejected"] += 1
+      raise ServerOverloadedError(
+          f"{self._inflight} requests in flight (max_queue="
+          f"{self.max_queue}); retry later")
 
   def _release(self):
     with self._inflight_lock:
@@ -395,7 +416,8 @@ class SynthesisService:
 
     checkpoint = load_checkpoint_any(checkpoint_path)
     with self._device_lock:
-      iteration = self.synth.update_params(checkpoint)
+      iteration = self.synth.update_params(
+          checkpoint, custom_hparams=self.custom_hparams)
     with self._stats_lock:
       self.stats["reloads"] += 1
     return {"status": "reloaded", "iteration": int(iteration),
@@ -422,7 +444,6 @@ class SynthesisService:
     mel = self._check_mel(mel)
     self._admit()
     n = 0.0
-    t0 = time.perf_counter()
     gen = self.synth.stream(
         mel, sigma=self.default_sigma if sigma is None else sigma,
         denoiser_strength=(self.default_denoiser_strength
@@ -442,7 +463,11 @@ class SynthesisService:
     finally:
       gen.close()
       self._release()
-    self._count(n, time.perf_counter() - t0)
+    # stream wall time is paced by the CONSUMING client (socket
+    # backpressure — a realtime player holds the generator open for the
+    # utterance duration), so it does not enter the request-latency
+    # histogram; operators alerting on p99 must see service latency only
+    self._count(n)
 
   # -- helpers ---------------------------------------------------------------
 
@@ -467,6 +492,8 @@ class SynthesisService:
       self.stats["audio_seconds"] += audio_seconds
       if latency_s is not None:
         self._latencies.append(latency_s)
+        self._latency_total_n += 1
+        self._latency_total_sum += latency_s
         if len(self._latencies) > self._latency_cap:
           # keep the newest half: recent traffic, O(1) amortized
           del self._latencies[:self._latency_cap // 2]
@@ -490,6 +517,7 @@ class SynthesisService:
     with self._stats_lock:
       out = dict(self.stats)
       lats = list(self._latencies)
+      total_n, total_sum = self._latency_total_n, self._latency_total_sum
     out["uptime_seconds"] = round(time.time() - self.started, 1)
     out["audio_seconds"] = round(out["audio_seconds"], 3)
     with self._inflight_lock:
@@ -498,7 +526,8 @@ class SynthesisService:
     if lats:
       q = np.quantile(lats, [0.5, 0.95, 0.99])
       out["latency_s"] = {
-          "count": len(lats), "mean": round(float(np.mean(lats)), 4),
+          "count": total_n, "sum": round(total_sum, 4),
+          "window": len(lats), "mean": round(float(np.mean(lats)), 4),
           "p50": round(float(q[0]), 4), "p95": round(float(q[1]), 4),
           "p99": round(float(q[2]), 4)}
     return out
@@ -535,13 +564,13 @@ class SynthesisService:
     if "latency_s" in s:
       lat = s["latency_s"]
       lines.append("# HELP waveglow_request_latency_seconds "
-                   "Request wall latency")
+                   "Request wall latency (quantiles over the newest "
+                   f"{self._latency_cap} requests; sum/count cumulative)")
       lines.append("# TYPE waveglow_request_latency_seconds summary")
       for qt, key in (("0.5", "p50"), ("0.95", "p95"), ("0.99", "p99")):
         lines.append("waveglow_request_latency_seconds"
                      f'{{quantile="{qt}"}} {lat[key]}')
-      lines.append("waveglow_request_latency_seconds_sum "
-                   f"{round(lat['mean'] * lat['count'], 4)}")
+      lines.append(f"waveglow_request_latency_seconds_sum {lat['sum']}")
       lines.append(f"waveglow_request_latency_seconds_count {lat['count']}")
     return "\n".join(lines) + "\n"
 
@@ -644,6 +673,10 @@ class _Handler(BaseHTTPRequestHandler):
       fmt = get("format", str, "wav")
       if fmt not in ("wav", "npy"):
         raise ValueError(f"format must be wav or npy, got {fmt!r}")
+      if route in ("/synthesize", "/synthesize-wav", "/stream"):
+        # shed BEFORE buffering the body (up to 256 MB a saturated daemon
+        # would only discard); _admit() still enforces at dispatch
+        self.service.check_capacity()
       body = self._read_body()
 
       if route == "/reload":

@@ -487,8 +487,28 @@ class Synthesizer:
         while b * 2 <= min(len(idxs) - pos, max_batch):
           b *= 2
         rows = idxs[pos:pos + b]
-        chunk = rows
         pos += b
+        if b == 1:
+          # size-1 remainder: the SOLO batch-1 program (_infer_packed) —
+          # always compiled already, since all solo traffic and warmups go
+          # through it; the batch-1 shape of _infer_packed_many is a
+          # DISTINCT jit whose first compile (~37 s on a tunneled TPU,
+          # docs/PERFORMANCE.md) would otherwise land inside a dispatch.
+          # block_noise(key, batch=1) is the solo derivation, so outputs
+          # are identical either way.
+          i = rows[0]
+          key = jax.random.PRNGKey(seeds[i])
+          true_n = jnp.int32(prepared[i][1])
+          if denoiser_strength > 0:
+            dn, pcm, max_abs = self._infer_packed(
+                self.params, prepared[i][0], jnp.float32(sigma), key,
+                jnp.float32(denoiser_strength), true_n, self._bias)
+          else:
+            dn, pcm, max_abs = self._infer_packed_raw(
+                self.params, prepared[i][0], jnp.float32(sigma), key, true_n)
+          pending.append((rows, pcm if pcm16 else dn,
+                          jnp.reshape(max_abs, (1,))))
+          continue
         # host-side stack: the whole batch crosses the tunnel as ONE
         # transfer inside the jitted call below, instead of one ~30 ms
         # upload per request plus a device concat (_prepare_mel docstring)
@@ -503,7 +523,7 @@ class Synthesizer:
         else:
           dn, pcm, max_abs = self._infer_packed_many_raw(
               self.params, mel_batch, jnp.float32(sigma), seed_arr, true_arr)
-        pending.append((chunk, pcm if pcm16 else dn, max_abs))
+        pending.append((rows, pcm if pcm16 else dn, max_abs))
     return (pending, prepared, len(mels), start, timepoint)
 
   def serving_many_finalize(self, dispatched) -> List["ServingResult"]:
