@@ -373,6 +373,47 @@ class TestAdmissionControl:
       with service._inflight_lock:
         service._inflight -= service.max_queue
 
+  def test_overload_burst_sheds_and_recovers(self, tmp_path):
+    """Stress: 12 concurrent clients against max_queue=2 — some requests
+    shed with 503, every non-shed request completes correctly, counters
+    reconcile, and the daemon ends idle (in_flight == 0)."""
+    import concurrent.futures
+
+    svc = SynthesisService(tiny_checkpoint(seed=1, perturb_end=True),
+                           bucket_frames=BUCKET, max_queue=2)
+    httpd = make_server(svc, "127.0.0.1", 0)
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    url = f"http://127.0.0.1:{httpd.server_port}"
+    try:
+      svc.synthesize_mel_packed(rand_mels(1, 10, seed=0)[0])  # compile
+
+      def one(seed):
+        try:
+          with _post(url + f"/synthesize?seed={seed}&format=npy",
+                     _mel_bytes(10, seed=seed)) as r:
+            wav = np.load(io.BytesIO(r.read()), allow_pickle=False)
+            return ("ok", wav.shape)
+        except urllib.error.HTTPError as e:
+          code = e.code
+          e.close()
+          return ("shed", code)
+
+      with concurrent.futures.ThreadPoolExecutor(12) as pool:
+        results = list(pool.map(one, range(12)))
+      ok = [r for r in results if r[0] == "ok"]
+      shed = [r for r in results if r[0] == "shed"]
+      assert all(shape == (10 * 256,) for _, shape in ok)
+      assert all(code == 503 for _, code in shed)
+      assert len(shed) >= 1, "12-vs-2 burst must shed something"
+      stats = svc.snapshot_stats()
+      # every request is accounted exactly once (the warm-up call is +1)
+      assert stats["requests"] == len(ok) + 1
+      assert stats["rejected"] == len(shed)
+      assert stats["in_flight"] == 0
+    finally:
+      httpd.shutdown()
+      httpd.server_close()
+
   def test_stats_latency_percentiles(self, base_url, service):
     with _post(base_url + "/synthesize?seed=62&format=npy",
                _mel_bytes(10)) as r:
