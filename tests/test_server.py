@@ -426,6 +426,46 @@ class TestAdmissionControl:
     assert stats["max_queue"] == service.max_queue
 
 
+class TestWarmupAndDrain:
+
+  def test_warmup_precompiles_every_burst_program(self):
+    """After warmup, a first traffic burst adds ZERO compiled programs —
+    no ~37 s XLA compile can land inside the device lock."""
+    svc = SynthesisService(tiny_checkpoint(seed=1, perturb_end=True),
+                           bucket_frames=BUCKET, max_batch=4)
+    report = svc.warmup([10])
+    assert report["programs"] == 6  # (solo + b2 + b4) x (denoised + raw)
+    synth = svc.synth
+    caches = (synth._infer_packed._cache_size(),
+              synth._infer_packed_raw._cache_size(),
+              synth._infer_packed_many._cache_size(),
+              synth._infer_packed_many_raw._cache_size())
+    for strength in (0.0005, 0.0):
+      for b in (1, 2, 3, 4):  # 3 decomposes to 2+1: still warm
+        mels = [rand_mels(1, 10, seed=s)[0] for s in range(b)]
+        out = synth.infer_serving_many(mels, seeds=list(range(b)),
+                                       bucket_frames=BUCKET,
+                                       denoiser_strength=strength,
+                                       max_batch=4)
+        assert len(out) == b
+    assert (synth._infer_packed._cache_size(),
+            synth._infer_packed_raw._cache_size(),
+            synth._infer_packed_many._cache_size(),
+            synth._infer_packed_many_raw._cache_size()) == caches
+
+  def test_begin_drain_sheds_new_work_and_counts(self):
+    svc = SynthesisService(tiny_checkpoint(seed=1, perturb_end=True),
+                           bucket_frames=BUCKET, max_batch=1)
+    mel = rand_mels(1, 10, seed=0)[0]
+    svc.synthesize_mel_packed(mel)  # healthy before
+    svc.begin_drain()
+    from waveglow_tpu.inference.server import ServerOverloadedError
+    with pytest.raises(ServerOverloadedError, match="draining"):
+      svc.synthesize_mel_packed(mel)
+    assert svc.in_flight() == 0
+    assert svc.snapshot_stats()["rejected"] == 1
+
+
 class TestReloadAndMetrics:
 
   def test_reload_hot_swaps_weights(self, base_url, service, tmp_path):

@@ -62,6 +62,12 @@ def init_serve_parser(parser: ArgumentParser):
                       help="admission limit: reject requests with HTTP 503 "
                            "once this many are in flight (queued + "
                            "executing; 0 = never shed)")
+  parser.add_argument("--warmup-frames", type=str, default=None,
+                      help="comma-separated mel frame counts to pre-compile "
+                           "serving programs for (solo + every pow2 micro-"
+                           "batch, raw + denoised) BEFORE binding the port "
+                           "— slower start, no compile stalls on the first "
+                           "traffic bursts (e.g. '832' or '512,832,1600')")
   return _run
 
 
@@ -77,6 +83,8 @@ def _run(ns: Namespace) -> bool:
       sigma=ns.sigma, denoiser_strength=ns.denoiser_strength,
       max_batch=ns.max_batch, batch_window_ms=ns.batch_window_ms,
       max_queue=ns.max_queue)
+  warmup_frames = ([int(f) for f in ns.warmup_frames.split(",") if f]
+                   if ns.warmup_frames else None)
   logger.info("Model ready; binding %s:%d", ns.host, ns.port)
-  serve_forever(service, ns.host, ns.port)
+  serve_forever(service, ns.host, ns.port, warmup_frames=warmup_frames)
   return True

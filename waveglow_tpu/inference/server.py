@@ -279,6 +279,7 @@ class SynthesisService:
     self.max_queue = max_queue
     self._inflight = 0
     self._inflight_lock = threading.Lock()
+    self._draining = False  # graceful shutdown: reject new, finish current
     # per-request wall latencies (seconds): a trimmed window for /stats
     # percentiles plus CUMULATIVE sum/count for the Prometheus summary
     # (_sum/_count must be monotonic counters — a scraper rates them)
@@ -310,12 +311,26 @@ class SynthesisService:
 
   def _reject_if_saturated(self):
     # caller holds _inflight_lock
+    if self._draining:
+      with self._stats_lock:
+        self.stats["rejected"] += 1
+      raise ServerOverloadedError("daemon is draining for shutdown")
     if self.max_queue and self._inflight >= self.max_queue:
       with self._stats_lock:
         self.stats["rejected"] += 1
       raise ServerOverloadedError(
           f"{self._inflight} requests in flight (max_queue="
           f"{self.max_queue}); retry later")
+
+  def begin_drain(self) -> None:
+    """Stop admitting new synthesis work (503s) while in-flight requests
+    finish — the graceful half of a SIGTERM shutdown."""
+    with self._inflight_lock:
+      self._draining = True
+
+  def in_flight(self) -> int:
+    with self._inflight_lock:
+      return self._inflight
 
   def _release(self):
     with self._inflight_lock:
@@ -402,6 +417,44 @@ class SynthesisService:
     """Copy synthesis: wav -> mel -> wav (reference inference_wav.py)."""
     mel = np.asarray(self.mel_op.get_mel(np.asarray(wav, dtype=np.float32)))
     return self.synthesize_mel_packed(mel, **kw)
+
+  def warmup(self, frames_list: Optional[List[int]] = None) -> Dict:
+    """Pre-compile the serving programs a traffic burst would otherwise
+    compile INSIDE the device lock (~37 s per full-model program over a
+    tunneled chip — the first batch-2/4/8 dispatches of a fresh daemon
+    each stall every queued request for one compile). For each entry of
+    ``frames_list`` (mel frame counts; default: one entry of
+    ``bucket_frames``, i.e. the shortest bucket) this compiles the solo
+    program and every power-of-two micro-batch program up to
+    ``max_batch``, in both raw and denoised variants. Trades startup time
+    for first-burst latency; `serve --warmup-frames` exposes it.
+    Returns {"programs": N, "seconds": wall}.
+    """
+    bucket = self.bucket_frames or 64
+    frames_list = list(frames_list or [bucket])
+    t0 = time.perf_counter()
+    n = 0
+    rng = np.random.default_rng(0)
+    n_mels = self.synth.hparams.n_mel_channels
+    with self._device_lock:
+      for frames in frames_list:
+        mel = rng.standard_normal((n_mels, frames)).astype(np.float32)
+        for strength in (self.default_denoiser_strength, 0.0):
+          self.synth.infer_serving(
+              mel, denoiser_strength=strength,
+              bucket_frames=self.bucket_frames or None)
+          n += 1
+          b = 2
+          while b <= self.max_batch:
+            self.synth.infer_serving_many(
+                [mel] * b, denoiser_strength=strength,
+                seeds=list(range(b)),
+                bucket_frames=self.bucket_frames or None, max_batch=b)
+            n += 1
+            b *= 2
+    seconds = round(time.perf_counter() - t0, 1)
+    logger.info("Warmup compiled %d programs in %.1f s", n, seconds)
+    return {"programs": n, "seconds": seconds}
 
   def reload(self, checkpoint_path: str) -> Dict:
     """Hot-swap the serving weights from a checkpoint on the DAEMON's
@@ -783,9 +836,45 @@ def make_server(service: SynthesisService, host: str = "127.0.0.1",
   return ThreadingHTTPServer((host, port), handler)
 
 
-def serve_forever(service: SynthesisService, host: str, port: int) -> None:
+def serve_forever(service: SynthesisService, host: str, port: int, *,
+                  warmup_frames: Optional[List[int]] = None,
+                  drain_timeout_s: float = 30.0) -> None:
+  """Run the daemon until interrupted.
+
+  ``warmup_frames``: pre-compile serving programs for these mel lengths
+  before binding the port (see SynthesisService.warmup) so the first
+  traffic burst never pays an XLA compile inside the device lock.
+  SIGTERM drains gracefully: new requests get 503s, in-flight ones finish
+  (up to ``drain_timeout_s``), then the listener closes — what a rolling
+  restart under an orchestrator needs.
+  """
+  import signal
+
   import jax
+
+  if warmup_frames:
+    logger.info("Warming serving programs for frame counts %s ...",
+                warmup_frames)
+    service.warmup(warmup_frames)
   httpd = make_server(service, host, port)
+
+  def _drain_then_stop():
+    service.begin_drain()
+    deadline = time.time() + drain_timeout_s
+    while time.time() < deadline and service.in_flight() > 0:
+      time.sleep(0.1)
+    httpd.shutdown()
+
+  def _on_sigterm(signum, frame):  # noqa: ARG001
+    logger.info("SIGTERM: draining %d in-flight requests, then stopping",
+                service.in_flight())
+    threading.Thread(target=_drain_then_stop, daemon=True,
+                     name="waveglow-drain").start()
+
+  try:
+    signal.signal(signal.SIGTERM, _on_sigterm)
+  except ValueError:
+    pass  # not the main thread (e.g. a test harness): no signal hook
   logger.info("Serving on http://%s:%d (model on %s)", host,
               httpd.server_port, jax.devices()[0])
   try:
