@@ -525,6 +525,42 @@ class TestReloadAndMetrics:
     res = svc.synthesize_mel_packed(rand_mels(1, 10, seed=72)[0], seed=72)
     assert res.samples.shape == (10 * 256,)
 
+  def test_reload_under_concurrent_load(self, tmp_path):
+    """Hot-swap racing a synthesize storm: every request succeeds and
+    returns one of the two models' outputs (old before the swap, new
+    after) — no crashes, no torn programs, daemon idle afterwards."""
+    import concurrent.futures
+
+    svc = SynthesisService(tiny_checkpoint(seed=1, perturb_end=True),
+                           bucket_frames=BUCKET)
+    mel = rand_mels(1, 10, seed=80)[0]
+    # raw path (strength=0): the model params are ONE atomic attribute
+    # read, so every request is exactly old-model or new-model output (a
+    # denoised request racing the swap may legitimately pair new params
+    # with the old bias for one request — benign, but not old-or-new)
+    kw = dict(seed=80, denoiser_strength=0.0)
+    old = svc.synthesize_mel_packed(mel, **kw).samples
+    ck2 = tiny_checkpoint(seed=9, perturb_end=True)
+    path2 = tmp_path / "race_ck2.npz"
+    ck2.save(path2)
+
+    def worker(i):
+      return svc.synthesize_mel_packed(mel, **kw).samples
+
+    with concurrent.futures.ThreadPoolExecutor(4) as pool:
+      futs = [pool.submit(worker, i) for i in range(8)]
+      svc.reload(str(path2))
+      futs += [pool.submit(worker, i) for i in range(8)]
+      outs = [f.result() for f in futs]
+
+    new = svc.synthesize_mel_packed(mel, **kw).samples
+    assert np.abs(old - new).max() > 1e-4  # the swap changed the model
+    for out in outs:
+      matches_old = np.allclose(out, old, atol=1e-5)
+      matches_new = np.allclose(out, new, atol=1e-5)
+      assert matches_old or matches_new
+    assert svc.in_flight() == 0
+
   def test_reload_bad_body_is_400(self, base_url):
     with pytest.raises(urllib.error.HTTPError) as exc:
       _post(base_url + "/reload", b'{"nope": 1}')
