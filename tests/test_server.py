@@ -273,6 +273,31 @@ class TestMicroBatching:
                                          seed=seed, bucket_frames=BUCKET)
       np.testing.assert_allclose(wav, solo.samples, atol=1e-5)
 
+  def test_mixed_params_dispatch_as_one_group(self, service):
+    """Concurrent requests with different sigma/strength co-batch (per-row
+    program inputs) — one fused dispatch, each result matching its solo
+    call."""
+    from waveglow_tpu.inference.server import _BatchRequest
+
+    # ensure the finisher thread is running (starts on first submit)
+    service.synthesize_mel_packed(rand_mels(1, 10, seed=90)[0], seed=90)
+    mels = [rand_mels(1, 10, seed=s)[0] for s in (91, 92)]
+    reqs = [_BatchRequest(mels[0], 1.0, 0.0005, 91, False),
+            _BatchRequest(mels[1], 0.8, 0.002, 92, False)]
+    before = service.stats["batches"]
+    service._batcher._dispatch(list(reqs))
+    for req in reqs:
+      assert req.done.wait(timeout=60)
+      assert req.error is None
+    assert service.stats["batches"] == before + 1  # ONE group, not two
+    for req, mel, sg, st, sd in zip(reqs, mels, (1.0, 0.8),
+                                    (0.0005, 0.002), (91, 92)):
+      solo = service.synth.infer_serving(
+          mel, sigma=sg, denoiser_strength=st, seed=sd,
+          bucket_frames=service.bucket_frames)
+      np.testing.assert_allclose(req.result.samples, solo.samples,
+                                 atol=1e-5)
+
   def test_solo_request_keeps_exact_batch1_contract(self, base_url, service):
     """An uncontended request dispatches immediately through the batch-1
     program — bit-identical to infer_serving."""

@@ -395,6 +395,49 @@ class TestInferServingMany:
     with pytest.raises(ValueError):
       synth.infer_serving_many([rand_mels(1, 12)[0]], seeds=[1, 2])
 
+  def test_heterogeneous_sigma_strength_cobatch(self, synth):
+    """Requests with different sigma/strength dispatch as ONE batched
+    program (both are per-row inputs), each row matching its solo call."""
+    mels = [rand_mels(1, 12, seed=s)[0] for s in (1, 2, 3, 4)]
+    sigmas = [1.0, 0.8, 0.9, 1.0]
+    strengths = [0.0005, 0.001, 0.0005, 0.002]
+    seeds = [1, 2, 3, 4]
+    dispatched = synth.serving_many_dispatch(
+        mels, sigma=sigmas, denoiser_strength=strengths, seeds=seeds,
+        bucket_frames=16)
+    pending = dispatched[0]
+    assert [len(c) for c, _, _ in pending] == [4]  # one batch, no split
+    results = synth.serving_many_finalize(dispatched)
+    for mel, sg, st, sd, res in zip(mels, sigmas, strengths, seeds, results):
+      solo = synth.infer_serving(mel, sigma=sg, denoiser_strength=st,
+                                 seed=sd, bucket_frames=16)
+      np.testing.assert_allclose(res.samples, solo.samples, atol=1e-5)
+
+  def test_raw_rows_split_from_denoised(self, synth):
+    """strength == 0 rows keep the exact raw program (not a strength-0
+    STFT roundtrip): they dispatch separately from denoised rows."""
+    mels = [rand_mels(1, 12, seed=s)[0] for s in (1, 2, 3)]
+    strengths = [0.0005, 0.0, 0.0005]
+    dispatched = synth.serving_many_dispatch(
+        mels, denoiser_strength=strengths, seeds=[1, 2, 3],
+        bucket_frames=16)
+    pending = dispatched[0]
+    assert sorted(len(c) for c, _, _ in pending) == [1, 2]
+    results = synth.serving_many_finalize(dispatched)
+    raw_solo = synth.infer_serving(mels[1], denoiser_strength=0.0, seed=2,
+                                   bucket_frames=16)
+    np.testing.assert_array_equal(results[1].samples, raw_solo.samples)
+    for i in (0, 2):
+      solo = synth.infer_serving(mels[i], denoiser_strength=0.0005,
+                                 seed=i + 1, bucket_frames=16)
+      np.testing.assert_allclose(results[i].samples, solo.samples,
+                                 atol=1e-5)
+
+  def test_per_request_param_length_mismatch_rejected(self, synth):
+    with pytest.raises(ValueError, match="sigma"):
+      synth.infer_serving_many([rand_mels(1, 12)[0]], sigma=[1.0, 2.0],
+                               seeds=[1])
+
   def test_binary_decomposition_no_padded_rows(self, synth):
     """A 5-request group dispatches as 4+1 (largest pow2 first), every
     device row a real request — never a padded batch-8 program."""

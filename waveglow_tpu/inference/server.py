@@ -109,7 +109,9 @@ class _MicroBatcher:
   request, waits up to ``batch_window_ms`` for companions (so simultaneous
   arrivals group even when the device is idle; a batch also builds up
   naturally while the device is busy with the previous dispatch), drains
-  the rest of the queue, groups by (bucket length, sigma, strength, pcm16),
+  the rest of the queue, groups by (bucket length, raw-vs-denoised,
+  pcm16) — sigma and strength are per-row program inputs, so
+  heterogeneous-parameter requests co-batch —
   and runs each group through the fused batched program
   (Synthesizer.infer_serving_many). Size-1 groups take the exact batch-1
   path, so solo traffic keeps its bit-for-bit serving contract at
@@ -205,12 +207,16 @@ class _MicroBatcher:
     return -(-frames // b) * b if b else frames
 
   def _dispatch(self, batch: List[_BatchRequest]):
+    # sigma and strength are per-row inputs of the fused batched programs
+    # (Synthesizer.infer_serving_many), so heterogeneous-parameter requests
+    # co-batch; only the raw/denoised program split (strength == 0) and the
+    # response representation (pcm16 — it selects WHICH device buffer the
+    # finisher fetches) partition the group
     groups: Dict[tuple, List[_BatchRequest]] = {}
     for req in batch:
-      key = (self._bucket(req.mel.shape[-1]), req.sigma, req.strength,
-             req.pcm16)
+      key = (self._bucket(req.mel.shape[-1]), req.strength > 0, req.pcm16)
       groups.setdefault(key, []).append(req)
-    for (_, sigma, strength, pcm16), reqs in groups.items():
+    for (_, _, pcm16), reqs in groups.items():
       if len(reqs) > 1:
         with self._service._stats_lock:
           self._service.stats["batches"] += 1
@@ -224,14 +230,15 @@ class _MicroBatcher:
         with self._service._device_lock:
           if len(reqs) == 1:
             dispatched = self._service.synth.serving_dispatch(
-                reqs[0].mel, sigma=sigma, denoiser_strength=strength,
-                seed=reqs[0].seed,
+                reqs[0].mel, sigma=reqs[0].sigma,
+                denoiser_strength=reqs[0].strength, seed=reqs[0].seed,
                 bucket_frames=self._service.bucket_frames or None,
                 pcm16=pcm16)
           else:
             dispatched = self._service.synth.serving_many_dispatch(
-                [r.mel for r in reqs], sigma=sigma,
-                denoiser_strength=strength, seeds=[r.seed for r in reqs],
+                [r.mel for r in reqs], sigma=[r.sigma for r in reqs],
+                denoiser_strength=[r.strength for r in reqs],
+                seeds=[r.seed for r in reqs],
                 bucket_frames=self._service.bucket_frames or None,
                 pcm16=pcm16, max_batch=self._max_batch)
       except Exception as e:  # noqa: BLE001 — fan the failure out per request

@@ -66,6 +66,20 @@ class ServingResult:
   timepoint: datetime.datetime
 
 
+def _per_request(value, n: int, name: str) -> np.ndarray:
+  """Broadcast a scalar (or validate a length-n sequence) to a per-request
+  float32 array — sigma and denoiser strength are per-row inputs of the
+  micro-batched serving programs, so heterogeneous requests co-batch."""
+  arr = np.asarray(value, dtype=np.float32)
+  if arr.ndim == 0:
+    return np.full((n,), float(arr), dtype=np.float32)
+  if arr.shape != (n,):
+    raise ValueError(
+        f"{name}: expected a scalar or {n} per-request values, got shape "
+        f"{tuple(arr.shape)}")
+  return arr
+
+
 class Synthesizer:
 
   def __init__(self, checkpoint: CheckpointWaveglow, *,
@@ -157,36 +171,45 @@ class Synthesizer:
     # (block_noise(key, batch=1)), so a request's waveform does not depend
     # on what it was co-batched with and matches the solo infer_serving
     # output for the same seed up to compilation-dependent rounding.
+    # sigma and denoiser strength are PER-ROW [B] arrays, so requests with
+    # heterogeneous parameters co-batch instead of splitting into smaller
+    # dispatches: the model applies sigma as a pure linear scale on each
+    # noise tensor (models/waveglow.py:417,443,451), so scaling the row's
+    # noise by sigma_i and running the model at sigma=1 computes the same
+    # product the solo program does; per-row strength pre-scales the bias
+    # the denoiser subtracts (bias enters only as `bias * strength`).
     from waveglow_tpu.models.waveglow import block_noise
 
-    def _row_noise(seed, n_frames):
+    def _row_noise(seed, sigma, n_frames):
       key = jax.random.PRNGKey(seed)
-      return [z[0] for z in block_noise(key, config, 1, 0, n_frames)]
+      return [sigma * z[0] for z in block_noise(key, config, 1, 0, n_frames)]
 
     def _batch_outputs(wav, true_ns):
       mask = jnp.arange(wav.shape[-1])[None, :] < true_ns[:, None]
       return jnp.max(jnp.abs(wav) * mask, axis=-1)  # [B]
 
-    def _batch_noise(mel_batch, seeds):
-      return jax.vmap(lambda s: _row_noise(s, mel_batch.shape[-1]))(seeds)
+    def _batch_noise(mel_batch, seeds, sigmas):
+      return jax.vmap(
+          lambda s, g: _row_noise(s, g, mel_batch.shape[-1]))(seeds, sigmas)
 
-    def _infer_packed_many(params, mel_batch, sigma, seeds, strength,
+    def _infer_packed_many(params, mel_batch, sigmas, seeds, strengths,
                            true_ns, bias):
-      noise = _batch_noise(mel_batch, seeds)
-      wav = infer(params, config, mel_batch, sigma=sigma, noise=noise,
+      noise = _batch_noise(mel_batch, seeds, sigmas)
+      wav = infer(params, config, mel_batch, sigma=1.0, noise=noise,
                   compute_dtype=cdt, scan_flows=scan,
                   true_frames=true_ns // UPSAMPLE_STRIDE)
       max_abs = _batch_outputs(wav, true_ns)
-      dn = denoiser(wav, strength, bias)
+      # bias [1, cutoff, 1] * strengths [B] -> per-row [B, cutoff, 1]
+      dn = denoiser(wav, 1.0, bias * strengths[:, None, None])
       pad = wav.shape[-1] - dn.shape[-1]
       if pad > 0:
         dn = jnp.pad(dn, ((0, 0), (0, pad)))
       dn = dn[..., :wav.shape[-1]]
       return dn, _pcm16_dev(dn), max_abs
 
-    def _infer_packed_many_raw(params, mel_batch, sigma, seeds, true_ns):
-      noise = _batch_noise(mel_batch, seeds)
-      wav = infer(params, config, mel_batch, sigma=sigma, noise=noise,
+    def _infer_packed_many_raw(params, mel_batch, sigmas, seeds, true_ns):
+      noise = _batch_noise(mel_batch, seeds, sigmas)
+      wav = infer(params, config, mel_batch, sigma=1.0, noise=noise,
                   compute_dtype=cdt, scan_flows=scan,
                   true_frames=true_ns // UPSAMPLE_STRIDE)
       return wav, _pcm16_dev(wav), _batch_outputs(wav, true_ns)
@@ -412,13 +435,20 @@ class Synthesizer:
         timepoint=timepoint)
 
   def infer_serving_many(self, mels: Sequence[np.ndarray], *,
-                         sigma: float = 1.0,
-                         denoiser_strength: float = 0.0005,
+                         sigma=1.0,
+                         denoiser_strength=0.0005,
                          seeds: Optional[Sequence[int]] = None,
                          bucket_frames: Optional[int] = 64,
                          pcm16: bool = False,
                          max_batch: int = 8) -> List["ServingResult"]:
     """Micro-batched :meth:`infer_serving`: N requests, few fused dispatches.
+
+    ``sigma`` and ``denoiser_strength`` accept a scalar or one value PER
+    REQUEST — they enter the fused programs as per-row [B] inputs (noise
+    is scaled per row; the denoiser bias is pre-scaled per row), so
+    heterogeneous-parameter traffic co-batches instead of splitting. Only
+    ``denoiser_strength == 0`` rows dispatch separately: they keep the
+    exact raw program rather than a strength-0 STFT roundtrip.
 
     Requests are grouped into length buckets (mel frames rounded up to
     ``bucket_frames``), each bucket split into power-of-two sub-batches
@@ -442,8 +472,8 @@ class Synthesizer:
                                    pcm16=pcm16, max_batch=max_batch))
 
   def serving_many_dispatch(self, mels: Sequence[np.ndarray], *,
-                            sigma: float = 1.0,
-                            denoiser_strength: float = 0.0005,
+                            sigma=1.0,
+                            denoiser_strength=0.0005,
                             seeds: Optional[Sequence[int]] = None,
                             bucket_frames: Optional[int] = 64,
                             pcm16: bool = False, max_batch: int = 8):
@@ -457,22 +487,28 @@ class Synthesizer:
     the tunneled link, benchmarks/server_microbatch_tpu.json).
     """
     timepoint = datetime.datetime.now()
+    n = len(mels)
     if seeds is None:
-      seeds = [0] * len(mels)
-    if len(seeds) != len(mels):
-      raise ValueError(f"{len(mels)} mels but {len(seeds)} seeds")
+      seeds = [0] * n
+    if len(seeds) != n:
+      raise ValueError(f"{n} mels but {len(seeds)} seeds")
     if max_batch < 1:
       raise ValueError("max_batch must be >= 1")
+    sigmas = _per_request(sigma, n, "sigma")
+    strengths = _per_request(denoiser_strength, n, "denoiser_strength")
     prepared = [self._prepare_mel(m, bucket_frames) for m in mels]
 
-    groups: Dict[int, List[int]] = {}
+    # heterogeneous sigma/strength co-batch (they are per-row program
+    # inputs); only raw (strength==0) rows split off — they must keep the
+    # exact no-denoise program, not a strength-0 STFT roundtrip
+    groups: Dict[tuple, List[int]] = {}
     for i, (mel, _) in enumerate(prepared):
-      groups.setdefault(mel.shape[-1], []).append(i)
+      groups.setdefault((mel.shape[-1], bool(strengths[i] > 0)), []).append(i)
 
     start = time.perf_counter()
     pending = []
-    for padded_f in sorted(groups):
-      idxs = groups[padded_f]
+    for padded_f, denoise in sorted(groups):
+      idxs = groups[(padded_f, denoise)]
       pos = 0
       while pos < len(idxs):
         # binary decomposition: split the group into power-of-two
@@ -499,13 +535,14 @@ class Synthesizer:
           i = rows[0]
           key = jax.random.PRNGKey(seeds[i])
           true_n = jnp.int32(prepared[i][1])
-          if denoiser_strength > 0:
+          if denoise:
             dn, pcm, max_abs = self._infer_packed(
-                self.params, prepared[i][0], jnp.float32(sigma), key,
-                jnp.float32(denoiser_strength), true_n, self._bias)
+                self.params, prepared[i][0], jnp.float32(sigmas[i]), key,
+                jnp.float32(strengths[i]), true_n, self._bias)
           else:
             dn, pcm, max_abs = self._infer_packed_raw(
-                self.params, prepared[i][0], jnp.float32(sigma), key, true_n)
+                self.params, prepared[i][0], jnp.float32(sigmas[i]), key,
+                true_n)
           pending.append((rows, pcm if pcm16 else dn,
                           jnp.reshape(max_abs, (1,))))
           continue
@@ -516,15 +553,16 @@ class Synthesizer:
         seed_arr = np.asarray([seeds[i] for i in rows], dtype=np.uint32)
         true_arr = np.asarray([prepared[i][1] for i in rows],
                               dtype=np.int32)
-        if denoiser_strength > 0:
+        sig_arr = sigmas[rows]
+        if denoise:
           dn, pcm, max_abs = self._infer_packed_many(
-              self.params, mel_batch, jnp.float32(sigma), seed_arr,
-              jnp.float32(denoiser_strength), true_arr, self._bias)
+              self.params, mel_batch, sig_arr, seed_arr,
+              strengths[rows], true_arr, self._bias)
         else:
           dn, pcm, max_abs = self._infer_packed_many_raw(
-              self.params, mel_batch, jnp.float32(sigma), seed_arr, true_arr)
+              self.params, mel_batch, sig_arr, seed_arr, true_arr)
         pending.append((rows, pcm if pcm16 else dn, max_abs))
-    return (pending, prepared, len(mels), start, timepoint)
+    return (pending, prepared, n, start, timepoint)
 
   def serving_many_finalize(self, dispatched) -> List["ServingResult"]:
     """Fetch a :meth:`serving_many_dispatch` record into ServingResults."""
