@@ -52,6 +52,10 @@ def main():
   parser.add_argument("--train-hparams", default=None,
                       help='extra training hparam overrides, e.g. '
                            '"remat_scope=wn,grad_accum=3,use_pallas=true"')
+  parser.add_argument("--compile-cache", type=str,
+                      default="/tmp/waveglow_tpu_xla_cache",
+                      help="persistent XLA compile cache directory "
+                           "(first run pays the compiles, reruns don't)")
   parser.add_argument("--train-batch24", action="store_true", default=True,
                       help="also measure the reference-workload batch-24 "
                            "training rate (grad-accum 3x8)")
@@ -67,8 +71,8 @@ def main():
   import jax.numpy as jnp
 
   try:  # persistent compilation cache: first bench run pays, reruns don't
-    jax.config.update("jax_compilation_cache_dir", "/tmp/waveglow_tpu_xla_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from waveglow_tpu.compile_cache import enable_compile_cache
+    enable_compile_cache(args.compile_cache)
   except Exception:
     pass
 

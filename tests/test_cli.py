@@ -308,3 +308,32 @@ class TestStemLoggerGuards:
     before = len(logging.Logger.manager.loggerDict)
     init_file_stem_loggers([f"f{i}.wav" for i in range(500)])
     assert len(logging.Logger.manager.loggerDict) == before
+
+
+class TestCompileCache:
+  """serve/benchmark --compile-cache: persistent XLA program cache so a
+  daemon restart re-loads warmed programs from disk instead of recompiling
+  (~37 s/program over a tunneled TPU, docs/PERFORMANCE.md)."""
+
+  def test_disabled_without_flag_or_env(self, monkeypatch):
+    from waveglow_tpu.compile_cache import ENV_VAR, enable_compile_cache
+    monkeypatch.delenv(ENV_VAR, raising=False)
+    assert enable_compile_cache(None) is None
+
+  def test_flag_creates_dir_and_configures_jax(self, tmp_path):
+    import jax
+
+    from waveglow_tpu.compile_cache import enable_compile_cache
+    target = tmp_path / "xla_cache"
+    assert enable_compile_cache(target) == target
+    assert target.is_dir()
+    assert jax.config.jax_compilation_cache_dir == str(target)
+
+  def test_env_var_is_the_default(self, monkeypatch, tmp_path):
+    from waveglow_tpu.compile_cache import ENV_VAR, enable_compile_cache
+    env_dir = tmp_path / "from_env"
+    monkeypatch.setenv(ENV_VAR, str(env_dir))
+    assert enable_compile_cache(None) == env_dir
+    # an explicit directory wins over the env var
+    flag_dir = tmp_path / "from_flag"
+    assert enable_compile_cache(flag_dir) == flag_dir

@@ -385,3 +385,50 @@ class TestAdamStateImport:
     assert len(back) == len(leaves)
     for a, b in zip(leaves, back):
       np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestSniffCheckpointFormat:
+  """Content-based format detection: npz and modern torch .pt are BOTH zip
+  archives (PK magic — torch defaults to zipfile serialization since 1.6),
+  so detection must look inside the archive, not just at the magic."""
+
+  def test_sniffs_all_three_formats(self, tmp_path):
+    from waveglow_tpu.checkpointing import sniff_checkpoint_format
+
+    ckpt, _, _ = native_checkpoint(seed=3)
+    npz = tmp_path / "c.npz"
+    ckpt.save(npz)
+    assert sniff_checkpoint_format(npz) == "npz"
+
+    zip_pt = tmp_path / "zip.pt"  # torch default: zip serialization
+    torch.save({"a": torch.zeros(2)}, str(zip_pt))
+    assert sniff_checkpoint_format(zip_pt) == "torch"
+
+    old_pt = tmp_path / "old.pt"  # pre-1.6 plain pickle stream
+    torch.save({"a": torch.zeros(2)}, str(old_pt),
+               _use_new_zipfile_serialization=False)
+    assert sniff_checkpoint_format(old_pt) == "torch"
+
+    assert sniff_checkpoint_format(tmp_path) == "orbax"  # directories
+
+  def test_load_checkpoint_any_routes_torch_zip_to_importer(self, tmp_path):
+    """Regression: a reference-format .pt saved with torch's DEFAULT (zip)
+    serialization starts with the npz 'PK' magic; magic-only sniffing
+    routed it into np.load, which died with an opaque KeyError. Content
+    sniffing must hand it to the torch importer."""
+    from dataclasses import asdict
+
+    from waveglow_tpu.checkpointing import load_checkpoint_any
+
+    ckpt, config, hp = native_checkpoint(seed=4)
+    sd = {k: torch.from_numpy(np.asarray(v))
+          for k, v in params_to_state_dict(ckpt.state_dict).items()}
+    path = tmp_path / "reference_format.pt"
+    torch.save({"state_dict": sd, "optimizer": None, "learning_rate": 1e-4,
+                "iteration": 11, "hparams": asdict(hp)}, str(path))
+    assert path.read_bytes()[:2] == b"PK"  # the ambiguous magic
+
+    back = load_checkpoint_any(path)
+    assert back.iteration == 11
+    ref_order = sorted(params_to_state_dict(back.state_dict))
+    assert ref_order == sorted(params_to_state_dict(ckpt.state_dict))

@@ -664,3 +664,167 @@ class TestStreamDisconnect:
                _mel_bytes(10, seed=41)) as r:
       wav = np.load(io.BytesIO(r.read()), allow_pickle=False)
     assert wav.shape == (10 * 256,)
+
+
+class TestSizeAdmission:
+  """max_frames: the size axis of admission control. max_queue bounds how
+  MANY requests are in flight; max_frames bounds how BIG one is — without
+  it, MAX_BODY_BYTES admits a single ~840k-frame mel, one fused program
+  over hours of audio (an HBM OOM or a multi-minute device-lock stall)."""
+
+  def test_oversize_mel_is_413_and_daemon_stays_healthy(self):
+    svc = SynthesisService(tiny_checkpoint(seed=1, perturb_end=True),
+                           bucket_frames=BUCKET, max_frames=32)
+    httpd = make_server(svc, "127.0.0.1", 0)
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    url = f"http://127.0.0.1:{httpd.server_port}"
+    try:
+      with pytest.raises(urllib.error.HTTPError) as e:
+        _post(url + "/synthesize", _mel_bytes(40))
+      assert e.value.code == 413
+      assert "max_frames=32" in json.loads(e.value.read())["error"]
+      # daemon unharmed: a legal request still serves, counters reconcile
+      with _post(url + "/synthesize?format=npy", _mel_bytes(10)) as r:
+        wav = np.load(io.BytesIO(r.read()), allow_pickle=False)
+      assert wav.shape == (10 * 256,)
+      stats = svc.snapshot_stats()
+      assert stats["rejected"] == 1    # the 413, counted as shed load
+      assert stats["errors"] == 0      # ... not as a client error
+      assert stats["requests"] == 1
+      with urllib.request.urlopen(url + "/healthz", timeout=30) as r:
+        assert json.loads(r.read())["serving"]["max_frames"] == 32
+    finally:
+      httpd.shutdown()
+      httpd.server_close()
+
+  def test_stream_limited_and_zero_disables(self):
+    from waveglow_tpu.inference.server import RequestTooLargeError
+
+    svc = SynthesisService(tiny_checkpoint(seed=1, perturb_end=True),
+                           bucket_frames=BUCKET, max_frames=16)
+    with pytest.raises(RequestTooLargeError):
+      next(svc.stream_mel(np.zeros((80, 20), np.float32)))
+    assert svc.in_flight() == 0  # rejected before admission
+    svc.max_frames = 0
+    checked = svc._check_mel(np.zeros((80, 9000), np.float32))
+    assert checked.shape == (80, 9000)
+
+
+class TestKeepAliveSafety:
+  """An error response sent BEFORE the request body was read must close the
+  connection: this handler is HTTP/1.1 keep-alive, and a reused socket
+  would otherwise parse the next request starting at the leftover body
+  bytes (protocol desync -> garbage 400s). The bundled client sends
+  Connection: close, so these tests speak raw http.client keep-alive."""
+
+  @staticmethod
+  def _conn(base_url, timeout=120):
+    import http.client
+    host, port = base_url.replace("http://", "").split(":")
+    return http.client.HTTPConnection(host, int(port), timeout=timeout)
+
+  def test_early_400_closes_connection(self, base_url):
+    conn = self._conn(base_url)
+    try:
+      body = _mel_bytes(10)
+      # format=mp3 fails validation BEFORE _read_body(): body never read
+      conn.request("POST", "/synthesize?format=mp3", body=body)
+      r1 = conn.getresponse()
+      assert r1.status == 400
+      assert r1.headers.get("Connection", "").lower() == "close"
+      r1.read()
+      conn.close()  # server closed its side; reconnect and verify service
+      conn = self._conn(base_url)
+      conn.request("POST", "/synthesize?format=npy", body=body)
+      r2 = conn.getresponse()
+      assert r2.status == 200
+      r2.read()
+    finally:
+      conn.close()
+
+  def test_late_error_keeps_connection_usable(self, base_url):
+    """An error raised AFTER the body was consumed keeps the keep-alive
+    contract: two bad-mel requests pipeline safely over ONE socket."""
+    conn = self._conn(base_url)
+    try:
+      buf = io.BytesIO()
+      np.save(buf, np.zeros((3, 10), np.float32), allow_pickle=False)
+      bad = buf.getvalue()
+      for _ in range(2):  # the second request proves no desync
+        conn.request("POST", "/synthesize", body=bad)
+        r = conn.getresponse()
+        assert r.status == 400
+        assert "expected mel" in json.loads(r.read())["error"]
+        assert r.headers.get("Connection", "").lower() != "close"
+    finally:
+      conn.close()
+
+  def test_early_503_closes_connection(self, base_url, service):
+    with service._inflight_lock:
+      service._inflight += service.max_queue
+    conn = self._conn(base_url, timeout=30)
+    try:
+      conn.request("POST", "/synthesize", body=_mel_bytes(10))
+      r = conn.getresponse()
+      assert r.status == 503
+      assert r.headers.get("Connection", "").lower() == "close"
+      r.read()
+    finally:
+      conn.close()
+      with service._inflight_lock:
+        service._inflight -= service.max_queue
+
+
+class TestReloadSafety:
+  """POST /reload reaches torch.load (arbitrary pickle deserialization) for
+  torch-format checkpoints; that path must be opt-in."""
+
+  def test_torch_reload_rejected_by_default(self, base_url, tmp_path):
+    import torch
+    path = tmp_path / "anything.pt"
+    torch.save({"not": "a checkpoint"}, str(path))
+    body = json.dumps({"checkpoint": str(path)}).encode()
+    with pytest.raises(urllib.error.HTTPError) as e:
+      _post(base_url + "/reload", body)
+    assert e.value.code == 400
+    assert "refusing" in json.loads(e.value.read())["error"]
+
+  def test_torch_reload_allowed_with_opt_in(self, tmp_path):
+    """--allow-torch-reload hot-swaps a reference-format .pt; this also
+    regression-covers content sniffing routing a torch ZIP (PK magic,
+    same as npz) to the torch importer."""
+    from waveglow_tpu.checkpointing.export_torch import \
+        export_torch_checkpoint
+
+    svc = SynthesisService(tiny_checkpoint(seed=1, perturb_end=True),
+                           bucket_frames=BUCKET, allow_torch_reload=True)
+    ck2 = tiny_checkpoint(seed=9, perturb_end=True)
+    ck2.iteration = 777
+    path = tmp_path / "new.pt"
+    export_torch_checkpoint(ck2, path)
+    out = svc.reload(str(path))
+    assert out["iteration"] == 777
+    assert svc.synth.iteration == 777
+
+
+class TestStreamAccounting:
+
+  def test_aborted_stream_counts_partial_audio(self):
+    """A client disconnect closes the response generator (GeneratorExit);
+    the consumed pieces must still land in requests/audio_seconds — under
+    disconnect-heavy traffic /stats and /metrics would otherwise
+    undercount arbitrarily."""
+    svc = SynthesisService(tiny_checkpoint(seed=1, perturb_end=True),
+                           bucket_frames=BUCKET)
+    before = svc.snapshot_stats()
+    gen = svc.stream_mel(rand_mels(1, 12, seed=3)[0], chunk_frames=4)
+    piece = next(gen)
+    assert piece.shape[0] > 0
+    gen.close()  # what the handler's pieces.close() does on disconnect
+    after = svc.snapshot_stats()
+    assert after["requests"] == before["requests"] + 1
+    expected = piece.shape[0] / svc.sampling_rate
+    # snapshot_stats rounds audio_seconds to 3 decimals
+    assert after["audio_seconds"] == pytest.approx(
+        before["audio_seconds"] + expected, abs=1e-3)
+    assert svc.in_flight() == 0

@@ -508,6 +508,27 @@ class TestHotReload:
     with pytest.raises(ValueError, match="architecture"):
       synth.update_params(other)
 
+  def test_rejects_audio_contract_change(self):
+    """Same flow/channel architecture but a different sampling rate or STFT
+    geometry has IDENTICAL param shapes — without an explicit check it
+    would swap in silently, and the daemon would label served audio at the
+    old rate and recapture the denoiser bias with the old STFT."""
+    from dataclasses import asdict
+
+    from waveglow_tpu.inference.synthesizer import Synthesizer
+
+    synth = Synthesizer(tiny_checkpoint(seed=3))
+    for field, value in (("sampling_rate", "16000"), ("hop_length", "200"),
+                         ("filter_length", "2048")):
+      hp = overwrite_custom_hparams(
+          HParams(), {**parse_custom_hparams(TINY), field: value})
+      config = WaveGlowConfig.from_hparams(hp)
+      other = CheckpointWaveglow(
+          state_dict=init_params(config, seed=0), optimizer=None,
+          learning_rate=hp.learning_rate, iteration=1, hparams=asdict(hp))
+      with pytest.raises(ValueError, match=field):
+        synth.update_params(other)
+
 
 class TestBucketExactness:
   """Round-4 exactness contract: bucket padding changes NOTHING about the

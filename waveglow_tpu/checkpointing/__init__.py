@@ -7,21 +7,47 @@ from typing import List, Tuple, Union
 from waveglow_tpu.checkpointing.store import CheckpointWaveglow  # noqa: F401
 
 
-def load_checkpoint_any(path: Union[str, Path]) -> CheckpointWaveglow:
-  """Load a checkpoint regardless of format: native .npz, orbax directory,
-  or torch .pt.
+def sniff_checkpoint_format(path: Union[str, Path]) -> str:
+  """Detect a checkpoint's on-disk format by CONTENT: ``"orbax"`` (a
+  directory), ``"npz"`` (the native single-file store) or ``"torch"``
+  (any reference-era format, loaded via pickle by the torch importer).
 
-  Detection is by content, not extension: orbax checkpoints are directories;
-  npz files start with the zip magic ``PK``; anything else is handed to the
-  torch importer (which understands all three reference formats).
+  npz and modern torch ``.pt`` files are BOTH zip archives (``PK`` magic —
+  torch defaults to its zipfile serialization since 1.6), so the zip cases
+  are told apart by their members: a torch archive carries a ``data.pkl``
+  pickle entry, an npz only ``.npy`` arrays. This matters twice: routing a
+  torch zip into ``np.load`` fails with an opaque KeyError, and the serving
+  daemon's ``/reload`` must know whether a path would reach ``torch.load``
+  (arbitrary pickle deserialization) BEFORE loading it.
   """
   path = Path(path)
   if path.is_dir():
-    from waveglow_tpu.checkpointing.orbax_store import restore_host
-    return restore_host(path)
+    return "orbax"
   with open(path, "rb") as f:
     magic = f.read(2)
-  if magic == b"PK":
+  if magic != b"PK":
+    return "torch"  # legacy torch pickle stream (pre-1.6 serialization)
+  import zipfile
+  try:
+    with zipfile.ZipFile(path) as z:
+      names = z.namelist()
+  except zipfile.BadZipFile:
+    return "torch"  # PK magic but not a readable zip: let torch complain
+  if any(n == "data.pkl" or n.endswith("/data.pkl") for n in names):
+    return "torch"
+  return "npz"
+
+
+def load_checkpoint_any(path: Union[str, Path]) -> CheckpointWaveglow:
+  """Load a checkpoint regardless of format: native .npz, orbax directory,
+  or torch .pt (all reference formats). Detection is by content, not
+  extension — see :func:`sniff_checkpoint_format`.
+  """
+  fmt = sniff_checkpoint_format(path)
+  if fmt == "orbax":
+    from waveglow_tpu.checkpointing.orbax_store import restore_host
+    return restore_host(Path(path))
+  if fmt == "npz":
     return CheckpointWaveglow.load(path)
   from waveglow_tpu.checkpointing.import_torch import load_torch_checkpoint
   return load_torch_checkpoint(path)

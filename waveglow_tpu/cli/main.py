@@ -56,6 +56,11 @@ def _init_benchmark_parser(parser: argparse.ArgumentParser):
   parser.add_argument("--iters", type=int, default=5)
   parser.add_argument("--dtype", default="bfloat16",
                       choices=["bfloat16", "float32"])
+  parser.add_argument("--compile-cache", type=str, default=None,
+                      metavar="DIR",
+                      help="persistent XLA compile cache directory "
+                           "(default: $WAVEGLOW_TPU_COMPILE_CACHE, else "
+                           "/tmp/waveglow_tpu_xla_cache)")
   return _benchmark_ns
 
 
@@ -65,6 +70,8 @@ def _benchmark_ns(ns: argparse.Namespace) -> bool:
   cmd = [sys.executable, str(repo_root / "bench.py"),
          "--batch", str(ns.batch), "--frames", str(ns.frames),
          "--iters", str(ns.iters), "--dtype", ns.dtype]
+  if ns.compile_cache:
+    cmd += ["--compile-cache", ns.compile_cache]
   return subprocess.call(cmd) == 0
 
 

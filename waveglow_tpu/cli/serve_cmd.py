@@ -62,6 +62,25 @@ def init_serve_parser(parser: ArgumentParser):
                       help="admission limit: reject requests with HTTP 503 "
                            "once this many are in flight (queued + "
                            "executing; 0 = never shed)")
+  parser.add_argument("--max-frames", type=parse_non_negative_integer,
+                      default=8192,
+                      help="size-axis admission limit: reject request mels "
+                           "over this many frames with HTTP 413 (8192 ~= "
+                           "95 s of audio; 0 = unlimited — combine a higher "
+                           "limit with --chunk-frames to bound memory)")
+  parser.add_argument("--allow-torch-reload", action="store_true",
+                      default=False,
+                      help="let POST /reload hot-swap torch-format "
+                           "checkpoints (loads arbitrary pickles — enable "
+                           "only on trusted networks; native npz/orbax "
+                           "reloads are always allowed)")
+  parser.add_argument("--compile-cache", type=str, default=None,
+                      metavar="DIR",
+                      help="persistent XLA compile cache directory: a "
+                           "restarted daemon re-loads its warmed serving "
+                           "programs from disk in ~1 s each instead of "
+                           "recompiling ~37 s each (default: "
+                           "$WAVEGLOW_TPU_COMPILE_CACHE if set)")
   parser.add_argument("--warmup-frames", type=str, default=None,
                       help="comma-separated mel frame counts to pre-compile "
                            "serving programs for (solo + every pow2 micro-"
@@ -73,8 +92,11 @@ def init_serve_parser(parser: ArgumentParser):
 
 def _run(ns: Namespace) -> bool:
   from waveglow_tpu.checkpointing import load_checkpoint_any
+  from waveglow_tpu.compile_cache import enable_compile_cache
   from waveglow_tpu.inference.server import SynthesisService, serve_forever
 
+  # must precede the first jit compile (Synthesizer construction)
+  enable_compile_cache(ns.compile_cache)
   checkpoint = load_checkpoint_any(ns.checkpoint)
   service = SynthesisService(
       checkpoint,
@@ -82,7 +104,8 @@ def _run(ns: Namespace) -> bool:
       bucket_frames=ns.bucket_frames, chunk_frames=ns.chunk_frames,
       sigma=ns.sigma, denoiser_strength=ns.denoiser_strength,
       max_batch=ns.max_batch, batch_window_ms=ns.batch_window_ms,
-      max_queue=ns.max_queue)
+      max_queue=ns.max_queue, max_frames=ns.max_frames,
+      allow_torch_reload=ns.allow_torch_reload)
   warmup_frames = ([int(f) for f in ns.warmup_frames.split(",") if f]
                    if ns.warmup_frames else None)
   logger.info("Model ready; binding %s:%d", ns.host, ns.port)

@@ -23,9 +23,11 @@ TPU-serving defaults already measured in docs/PERFORMANCE.md:
     decomposition up to ``max_batch``, default 8) at full MXU batch
     parallelism with zero padded rows — solo requests still dispatch
     immediately through the exact batch-1 program with zero added latency;
-  * ADMISSION CONTROL sheds excess load: past ``max_queue`` in-flight
-    requests (default 64) new ones get an immediate HTTP 503 + Retry-After
-    instead of unbounded queueing; /stats reports request-latency
+  * ADMISSION CONTROL sheds excess load on BOTH axes: past ``max_queue``
+    in-flight requests (default 64) new ones get an immediate HTTP 503 +
+    Retry-After instead of unbounded queueing, and a single mel over
+    ``max_frames`` frames (default 8192, ~95 s of audio) gets HTTP 413
+    instead of one unbounded device program; /stats reports request-latency
     percentiles (p50/p95/p99), in-flight depth, and the rejected count.
 
 Endpoints (JSON errors, application/json):
@@ -79,6 +81,20 @@ class ServerOverloadedError(RuntimeError):
   an actionable signal. Production serving sheds instead — a bounded
   in-flight admission count (``max_queue``) turns excess load into an
   immediate 503 + Retry-After, which well-behaved callers back off on.
+  """
+
+
+class RequestTooLargeError(ValueError):
+  """Raised when a request mel exceeds ``max_frames`` (handler -> 413).
+
+  ``max_queue`` bounds how MANY requests are admitted but not how BIG one
+  is: MAX_BODY_BYTES (256 MB) alone admits a single ~840k-frame mel, which
+  on the non-chunked path is one fused program over ~2.7 hours of audio —
+  an HBM OOM or a multi-minute stall under the device lock from one
+  request. ``max_frames`` completes admission control on the size axis;
+  operators serving legitimately long inputs raise it together with
+  ``chunk_frames`` (constant-memory windows) so admitted work stays
+  bounded per device dispatch.
   """
 
 
@@ -211,7 +227,13 @@ class _MicroBatcher:
     # (Synthesizer.infer_serving_many), so heterogeneous-parameter requests
     # co-batch; only the raw/denoised program split (strength == 0) and the
     # response representation (pcm16 — it selects WHICH device buffer the
-    # finisher fetches) partition the group
+    # finisher fetches) partition the group. The pcm16 partition is a
+    # deliberate trade-off: same-bucket wav- and npy-format requests never
+    # co-batch, so under mixed-format traffic the per-dispatch batch size
+    # halves. Co-batching them would mean fetching BOTH full batch buffers
+    # (f32 + int16 waveforms, 1.5x the device->host bytes — the dominant
+    # serving cost over a tunneled link) or per-row gather programs; real
+    # deployments serve one format, so the split costs nothing there.
     groups: Dict[tuple, List[_BatchRequest]] = {}
     for req in batch:
       key = (self._bucket(req.mel.shape[-1]), req.strength > 0, req.pcm16)
@@ -256,7 +278,8 @@ class SynthesisService:
                bucket_frames: int = 64, chunk_frames: Optional[int] = None,
                sigma: float = 1.0, denoiser_strength: float = 0.0005,
                max_batch: int = 8, batch_window_ms: float = 5.0,
-               max_queue: int = 64):
+               max_queue: int = 64, max_frames: int = 8192,
+               allow_torch_reload: bool = False):
     from waveglow_tpu.dsp.mel import MelSTFT
     from waveglow_tpu.inference.synthesizer import Synthesizer
 
@@ -284,6 +307,13 @@ class SynthesisService:
     # ServerOverloadedError (HTTP 503) instead of queueing unboundedly.
     # 0 disables shedding.
     self.max_queue = max_queue
+    # size-axis admission: a single mel over max_frames frames is rejected
+    # with RequestTooLargeError (HTTP 413). 0 disables. Default 8192 frames
+    # = ~95 s of audio per request at the reference hop.
+    self.max_frames = max_frames
+    # /reload reaches torch.load (arbitrary pickle) for torch-format
+    # checkpoints; off by default — opt in only on trusted networks
+    self.allow_torch_reload = allow_torch_reload
     self._inflight = 0
     self._inflight_lock = threading.Lock()
     self._draining = False  # graceful shutdown: reject new, finish current
@@ -470,10 +500,25 @@ class SynthesisService:
     device lock so it serializes with dispatches; requests submitted
     before the swap complete on the old weights, requests after use the
     new ones, and in-flight streams keep the weights they started with.
-    Trusts the caller (bind the daemon to loopback or a private network).
-    """
-    from waveglow_tpu.checkpointing import load_checkpoint_any
 
+    Torch-format checkpoints are REFUSED unless the daemon was started
+    with ``allow_torch_reload``: the torch importer deserializes arbitrary
+    pickles (``torch.load(weights_only=False)`` — it must, to read the
+    reference's full-module format), so a client-supplied path reaching it
+    is remote code execution for anyone who can reach the port and stage a
+    file. The safe formats (native npz, orbax) carry no executable content
+    and stay hot-swappable by default.
+    """
+    from waveglow_tpu.checkpointing import (load_checkpoint_any,
+                                            sniff_checkpoint_format)
+
+    if (not self.allow_torch_reload
+        and sniff_checkpoint_format(checkpoint_path) == "torch"):
+      raise ValueError(
+          "refusing to hot-swap a torch-format checkpoint: the torch "
+          "importer deserializes arbitrary pickles. Convert it to the "
+          "native format first (waveglow-tpu download / export), or start "
+          "the daemon with --allow-torch-reload on a trusted network")
     checkpoint = load_checkpoint_any(checkpoint_path)
     with self._device_lock:
       iteration = self.synth.update_params(
@@ -521,13 +566,17 @@ class SynthesisService:
         n += len(piece) / self.sampling_rate
         yield piece
     finally:
+      # accounting lives in the finally so aborted streams count too: a
+      # client disconnect closes this generator (GeneratorExit), and code
+      # AFTER the finally would never run — /stats and /metrics would
+      # silently drop every aborted stream's request and partial audio
+      # seconds. Stream wall time is paced by the CONSUMING client (socket
+      # backpressure — a realtime player holds the generator open for the
+      # utterance duration), so it stays out of the request-latency
+      # histogram; operators alerting on p99 must see service latency only.
       gen.close()
       self._release()
-    # stream wall time is paced by the CONSUMING client (socket
-    # backpressure — a realtime player holds the generator open for the
-    # utterance duration), so it does not enter the request-latency
-    # histogram; operators alerting on p99 must see service latency only
-    self._count(n)
+      self._count(n)
 
   # -- helpers ---------------------------------------------------------------
 
@@ -543,6 +592,15 @@ class SynthesisService:
     if mel.ndim != 2 or mel.shape[0] != n_mels:
       raise ValueError(
           f"expected mel [{n_mels}, frames], got shape {tuple(mel.shape)}")
+    if self.max_frames and mel.shape[1] > self.max_frames:
+      with self._stats_lock:
+        self.stats["rejected"] += 1
+      raise RequestTooLargeError(
+          f"mel has {mel.shape[1]} frames, over the admission limit "
+          f"max_frames={self.max_frames} "
+          f"(~{self.max_frames * 256 / self.sampling_rate:.0f} s of audio); "
+          "raise --max-frames (with --chunk-frames to bound memory) to "
+          "serve longer inputs")
     return mel.astype(np.float32)
 
   def _count(self, audio_seconds: float,
@@ -570,7 +628,8 @@ class SynthesisService:
         "serving": {"bucket_frames": self.bucket_frames,
                     "chunk_frames": self.chunk_frames,
                     "max_batch": self.max_batch,
-                    "max_queue": self.max_queue},
+                    "max_queue": self.max_queue,
+                    "max_frames": self.max_frames},
     }
 
   def snapshot_stats(self) -> Dict:
@@ -673,18 +732,27 @@ class _Handler(BaseHTTPRequestHandler):
   def log_message(self, fmt, *args):  # route to logging, not stderr
     logger.info("%s %s", self.address_string(), fmt % args)
 
-  def _send_json(self, code: int, payload: Dict) -> None:
+  def _send_json(self, code: int, payload: Dict, *,
+                 close: bool = False) -> None:
+    """``close=True`` sends ``Connection: close`` (which also flips
+    ``self.close_connection``): required whenever an error response goes
+    out BEFORE the request body was read — this handler is HTTP/1.1
+    keep-alive, and a reused connection would otherwise parse the next
+    request starting at the leftover body bytes (protocol desync)."""
     body = json.dumps(payload).encode()
     self.send_response(code)
     self.send_header("Content-Type", "application/json")
     self.send_header("Content-Length", str(len(body)))
+    if close:
+      self.send_header("Connection", "close")
     self.end_headers()
     self.wfile.write(body)
 
-  def _send_error_json(self, code: int, message: str) -> None:
+  def _send_error_json(self, code: int, message: str, *,
+                       close: bool = False) -> None:
     with self.service._stats_lock:
       self.service.stats["errors"] += 1
-    self._send_json(code, {"error": message})
+    self._send_json(code, {"error": message}, close=close)
 
   def _read_body(self) -> bytes:
     length = int(self.headers.get("Content-Length", 0))
@@ -725,6 +793,14 @@ class _Handler(BaseHTTPRequestHandler):
 
   def do_POST(self):
     route = urlparse(self.path).path
+    # Until _read_body() succeeds, the request body sits unread on the
+    # socket. This handler speaks HTTP/1.1 keep-alive, so answering an
+    # early error (503 shed, bad query param, oversize Content-Length)
+    # and then reusing the connection would make the NEXT request parse
+    # start at the leftover body bytes — protocol desync, garbage 400s.
+    # Any error response sent before the body was consumed must therefore
+    # close the connection.
+    body_read = False
     try:
       get = self._query()
       sigma = get("sigma", float, None)
@@ -738,6 +814,7 @@ class _Handler(BaseHTTPRequestHandler):
         # would only discard); _admit() still enforces at dispatch
         self.service.check_capacity()
       body = self._read_body()
+      body_read = True
 
       if route == "/reload":
         payload = json.loads(body)
@@ -779,11 +856,20 @@ class _Handler(BaseHTTPRequestHandler):
       self.send_header("Content-Type", "application/json")
       self.send_header("Content-Length", str(len(body)))
       self.send_header("Retry-After", "1")
+      if not body_read:  # early shed: body still on the socket (see above)
+        self.send_header("Connection", "close")
       self.end_headers()
       self.wfile.write(body)
       return
+    except RequestTooLargeError as e:
+      # size-axis admission control (counted in stats["rejected"] by
+      # _check_mel, not in stats["errors"]); body was read, so keep-alive
+      # stays safe
+      self._send_json(413, {"error": f"too large: {e}"})
+      return
     except Exception as e:  # noqa: BLE001 — client errors become 400s
-      self._send_error_json(400, f"{type(e).__name__}: {e}")
+      self._send_error_json(400, f"{type(e).__name__}: {e}",
+                            close=not body_read)
       return
 
     wav = result.samples

@@ -243,6 +243,21 @@ class Synthesizer:
           f"checkpoint architecture {new_config} does not match the "
           f"serving model {self.config}; hot-swap is weights-only — "
           "restart to change architecture")
+    # the flow/channel config alone doesn't pin the AUDIO contract: a
+    # checkpoint trained at a different sampling rate or STFT geometry has
+    # identical param shapes, so it would swap in silently — and the daemon
+    # would then label served audio with the old rate and recapture the
+    # denoiser bias with the old STFT. Reject those too.
+    audio_fields = ("sampling_rate", "filter_length", "hop_length",
+                    "win_length", "window", "mel_fmin", "mel_fmax")
+    mismatched = {f: (getattr(self.hparams, f), getattr(hparams, f))
+                  for f in audio_fields
+                  if getattr(hparams, f) != getattr(self.hparams, f)}
+    if mismatched:
+      raise ValueError(
+          "checkpoint audio/STFT hparams do not match the serving model "
+          f"(serving vs checkpoint): {mismatched}; hot-swap is "
+          "weights-only — restart to change the audio pipeline")
     fused = fuse_for_inference(checkpoint.state_dict)
 
     def _check(path, old, new):
