@@ -153,7 +153,7 @@ class TestGraftEntry:
     from pathlib import Path
     sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
     import __graft_entry__
-    __graft_entry__.dryrun_multichip(8)
+    __graft_entry__.dryrun_multichip(8, full_size=False)
 
   def test_entry_compiles(self):
     import __graft_entry__

@@ -483,3 +483,59 @@ def test_preemption_sigkill_and_auto_resume(tmp_path):
   mh_final = CheckpointWaveglow.load(path)
   assert digest(mh_final.state_dict) == pytest.approx(
       digest(state["params"]), rel=1e-5)
+
+
+MESH_TOPOLOGY_WORKER = textwrap.dedent("""
+    import os, sys, json
+    sys.path.insert(0, {repo!r})
+    os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "") +
+                               " --xla_force_host_platform_device_count=2")
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+
+    rank = int(sys.argv[1]); port = sys.argv[2]
+    jax.distributed.initialize(coordinator_address="127.0.0.1:" + port,
+                               num_processes=2, process_id=rank)
+    from waveglow_tpu.parallel import mesh as mesh_lib
+
+    mesh = mesh_lib.make_mesh(data=2, model=2)
+    grid = mesh.devices  # [data, model] of Device
+    rows = [[d.process_index for d in row] for row in grid]
+    print("RESULT", json.dumps({{"rank": rank, "rows": rows}}), flush=True)
+""")
+
+
+@pytest.mark.slow
+def test_mesh_topology_places_model_axis_within_a_process(tmp_path):
+  """Topology-aware make_mesh on 2 real processes x 2 local devices: every
+  MODEL-parallel group (a mesh row) must sit inside ONE process — its
+  per-WN-layer psums need the fast interconnect — while the DATA axis spans
+  the process (DCN) boundary, where only the once-per-step bundled gradient
+  all-reduce travels. The naive jax.devices()[:n].reshape(data, model) got
+  this exactly backwards for (2, 2) over 2 processes: each model pair
+  straddled both processes."""
+  import json
+
+  port = str(_free_port())
+  script = tmp_path / "worker.py"
+  script.write_text(MESH_TOPOLOGY_WORKER.format(repo=str(REPO_ROOT)))
+
+  env = dict(os.environ)
+  env.pop("JAX_PLATFORMS", None)
+  procs = [
+      subprocess.Popen([sys.executable, str(script), str(rank), port],
+                       stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+                       text=True, env=env)
+      for rank in range(2)
+  ]
+  outs = [(p.communicate(timeout=600), p.returncode) for p in procs]
+  for (out, err), rc in outs:
+    assert rc == 0, f"worker failed:\nstdout:{out}\nstderr:{err[-3000:]}"
+  for (out, _), _ in outs:
+    line = [l for l in out.splitlines() if l.startswith("RESULT")][0]
+    rows = json.loads(line[len("RESULT "):])["rows"]
+    # each model group lives inside one process...
+    for row in rows:
+      assert len(set(row)) == 1, f"model group straddles processes: {rows}"
+    # ...and the data axis spans both processes
+    assert {row[0] for row in rows} == {0, 1}, rows
