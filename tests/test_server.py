@@ -828,3 +828,138 @@ class TestStreamAccounting:
     assert after["audio_seconds"] == pytest.approx(
         before["audio_seconds"] + expected, abs=1e-3)
     assert svc.in_flight() == 0
+
+
+class TestMeshServing:
+  """BASELINE config 5 as a RUNNABLE service: the HTTP daemon (micro-batcher
+  included) dispatching through a mesh-sharded model on the virtual 8-device
+  mesh — data-parallel rows, tensor-parallel WN channels, time-sharded long
+  utterances — with outputs pinned to the single-device daemon's."""
+
+  def _spin(self, svc):
+    httpd = make_server(svc, "127.0.0.1", 0)
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    return httpd, f"http://127.0.0.1:{httpd.server_port}"
+
+  def test_dp_mesh_daemon_micro_batches_match_single_device(self, service):
+    """Concurrent HTTP traffic against a (4, 1) data mesh: micro-batched
+    rows shard across 4 chips; every response equals the unsharded daemon's
+    for the same (mel, seed)."""
+    import concurrent.futures
+
+    from waveglow_tpu.parallel import mesh as mesh_lib
+
+    mesh = mesh_lib.make_mesh(data=4, model=1)
+    svc = SynthesisService(tiny_checkpoint(seed=1, perturb_end=True),
+                           bucket_frames=BUCKET, max_batch=4,
+                           batch_window_ms=100.0, mesh=mesh)
+    httpd, url = self._spin(svc)
+    try:
+      with urllib.request.urlopen(url + "/healthz", timeout=30) as r:
+        assert json.loads(r.read())["mesh"] == {"data": 4, "model": 1}
+      svc.warmup([10])  # compile outside the burst
+
+      def one(seed):
+        with _post(url + f"/synthesize?seed={seed}&format=npy",
+                   _mel_bytes(10, seed=seed)) as r:
+          return seed, np.load(io.BytesIO(r.read()), allow_pickle=False)
+
+      with concurrent.futures.ThreadPoolExecutor(8) as pool:
+        results = list(pool.map(one, range(8)))
+      for seed, wav in results:
+        expected = service.synth.infer_serving(
+            rand_mels(1, 10, seed=seed)[0], seed=seed, bucket_frames=BUCKET)
+        np.testing.assert_allclose(wav, expected.samples, atol=1e-4)
+      # the burst actually exercised mesh-sharded micro-batches
+      assert svc.snapshot_stats()["batched_requests"] >= 2
+    finally:
+      httpd.shutdown()
+      httpd.server_close()
+
+  def test_tp_mesh_daemon_shards_wn_channels(self, service):
+    """A (2, 2) DP x TP mesh: the WN hidden-channel weights must PHYSICALLY
+    live sharded over the model axis, requests must match the unsharded
+    daemon, and /reload must preserve the sharded placement."""
+    from waveglow_tpu.parallel import mesh as mesh_lib
+
+    mesh = mesh_lib.make_mesh(data=2, model=2)
+    svc = SynthesisService(tiny_checkpoint(seed=1, perturb_end=True),
+                           bucket_frames=BUCKET, max_batch=2, mesh=mesh)
+
+    def assert_tp_sharded(params):
+      for flow in params["flows"]:
+        for layer in flow["wn"]["in_layers"]:
+          w = layer["w"]
+          shard = w.sharding.shard_shape(w.shape)
+          assert shard[-1] == w.shape[-1] // 2, (shard, w.shape)
+
+    assert_tp_sharded(svc.synth.params)
+    httpd, url = self._spin(svc)
+    try:
+      with urllib.request.urlopen(url + "/healthz", timeout=30) as r:
+        assert json.loads(r.read())["mesh"] == {"data": 2, "model": 2}
+      with _post(url + "/synthesize?seed=4&format=npy",
+                 _mel_bytes(12, seed=4)) as r:
+        wav = np.load(io.BytesIO(r.read()), allow_pickle=False)
+      expected = service.synth.infer_serving(
+          rand_mels(1, 12, seed=4)[0], seed=4, bucket_frames=BUCKET)
+      np.testing.assert_allclose(wav, expected.samples, atol=1e-4)
+
+      # hot reload keeps the TP placement (update_params re-commits
+      # through the same mesh specs)
+      import tempfile
+      with tempfile.TemporaryDirectory() as d:
+        path = f"{d}/reload.npz"
+        ck2 = tiny_checkpoint(seed=9, perturb_end=True)
+        ck2.iteration = 4242
+        ck2.save(path)
+        body = json.dumps({"checkpoint": path}).encode()
+        with _post(url + "/reload", body) as r:
+          assert json.loads(r.read())["iteration"] == 4242
+      assert_tp_sharded(svc.synth.params)
+      with _post(url + "/synthesize?seed=4&format=npy",
+                 _mel_bytes(12, seed=4)) as r:
+        wav2 = np.load(io.BytesIO(r.read()), allow_pickle=False)
+      assert np.abs(wav2 - wav).max() > 1e-4  # new weights took effect
+    finally:
+      httpd.shutdown()
+      httpd.server_close()
+
+  def test_time_mesh_daemon_long_utterance(self, service):
+    """An 8-way time mesh: the request mel's frame axis shards across all
+    chips (GSPMD conv-halo exchanges); output equals the unsharded daemon."""
+    from waveglow_tpu.parallel import mesh as mesh_lib
+
+    mesh = mesh_lib.make_time_mesh(8)
+    svc = SynthesisService(tiny_checkpoint(seed=1, perturb_end=True),
+                           bucket_frames=BUCKET, max_batch=1, mesh=mesh)
+    httpd, url = self._spin(svc)
+    try:
+      with urllib.request.urlopen(url + "/healthz", timeout=30) as r:
+        assert json.loads(r.read())["mesh"] == {"time": 8}
+      with _post(url + "/synthesize?seed=6&format=npy",
+                 _mel_bytes(32, seed=6)) as r:
+        wav = np.load(io.BytesIO(r.read()), allow_pickle=False)
+      expected = service.synth.infer_serving(
+          rand_mels(1, 32, seed=6)[0], seed=6, bucket_frames=BUCKET)
+      np.testing.assert_allclose(wav, expected.samples, atol=1e-4)
+    finally:
+      httpd.shutdown()
+      httpd.server_close()
+
+  def test_serve_cli_builds_mesh_from_flags(self, tmp_path):
+    """The serve subcommand's mesh flags construct the right mesh (parser
+    through service construction, stopping short of serve_forever)."""
+    from waveglow_tpu.cli.main import build_parser
+
+    parser = build_parser()
+    ck_path = tmp_path / "tiny.npz"
+    tiny_checkpoint(seed=1, perturb_end=True).save(ck_path)
+    ns = parser.parse_args(["serve", str(ck_path), "--mesh-data", "4",
+                            "--mesh-model", "2"])
+    assert (ns.mesh_data, ns.mesh_model, ns.mesh_time) == (4, 2, 1)
+    ns_bad = parser.parse_args(["serve", str(ck_path), "--mesh-time", "4",
+                                "--mesh-data", "2"])
+    import waveglow_tpu.cli.serve_cmd as serve_cmd
+    with pytest.raises(ValueError, match="mutually exclusive"):
+      serve_cmd._run(ns_bad)

@@ -62,6 +62,20 @@ def init_serve_parser(parser: ArgumentParser):
                       help="admission limit: reject requests with HTTP 503 "
                            "once this many are in flight (queued + "
                            "executing; 0 = never shed)")
+  parser.add_argument("--mesh-data", type=parse_positive_integer, default=1,
+                      help="shard micro-batched request rows over this many "
+                           "chips (data parallelism; each chip synthesizes "
+                           "its rows independently)")
+  parser.add_argument("--mesh-model", type=parse_positive_integer, default=1,
+                      help="tensor-shard the WN hidden channels over this "
+                           "many chips (Megatron col/row specs, one psum "
+                           "per WN layer over ICI — for models over one "
+                           "chip's HBM or to cut single-request latency)")
+  parser.add_argument("--mesh-time", type=parse_positive_integer, default=1,
+                      help="shard each utterance's mel frame axis over this "
+                           "many chips (long-utterance synthesis; GSPMD "
+                           "halo exchange for the conv overlaps). Mutually "
+                           "exclusive with --mesh-data/--mesh-model")
   parser.add_argument("--max-frames", type=parse_non_negative_integer,
                       default=8192,
                       help="size-axis admission limit: reject request mels "
@@ -97,6 +111,16 @@ def _run(ns: Namespace) -> bool:
 
   # must precede the first jit compile (Synthesizer construction)
   enable_compile_cache(ns.compile_cache)
+  mesh = None
+  if ns.mesh_time > 1:
+    if ns.mesh_data > 1 or ns.mesh_model > 1:
+      raise ValueError("--mesh-time is mutually exclusive with "
+                       "--mesh-data/--mesh-model")
+    from waveglow_tpu.parallel.mesh import make_time_mesh
+    mesh = make_time_mesh(ns.mesh_time)
+  elif ns.mesh_data > 1 or ns.mesh_model > 1:
+    from waveglow_tpu.parallel.mesh import make_mesh
+    mesh = make_mesh(data=ns.mesh_data, model=ns.mesh_model)
   checkpoint = load_checkpoint_any(ns.checkpoint)
   service = SynthesisService(
       checkpoint,
@@ -105,7 +129,9 @@ def _run(ns: Namespace) -> bool:
       sigma=ns.sigma, denoiser_strength=ns.denoiser_strength,
       max_batch=ns.max_batch, batch_window_ms=ns.batch_window_ms,
       max_queue=ns.max_queue, max_frames=ns.max_frames,
-      allow_torch_reload=ns.allow_torch_reload)
+      allow_torch_reload=ns.allow_torch_reload, mesh=mesh)
+  if mesh is not None:
+    logger.info("Serving over a device mesh: %s", dict(mesh.shape))
   warmup_frames = ([int(f) for f in ns.warmup_frames.split(",") if f]
                    if ns.warmup_frames else None)
   logger.info("Model ready; binding %s:%d", ns.host, ns.port)

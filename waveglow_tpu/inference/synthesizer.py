@@ -27,6 +27,7 @@ from typing import Dict, List, Optional, Sequence
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from waveglow_tpu.checkpointing.store import CheckpointWaveglow
 from waveglow_tpu.hparams import HParams, overwrite_custom_hparams
@@ -84,7 +85,19 @@ class Synthesizer:
 
   def __init__(self, checkpoint: CheckpointWaveglow, *,
                custom_hparams: Optional[Dict[str, str]] = None,
-               compute_dtype: Optional[str] = None):
+               compute_dtype: Optional[str] = None,
+               mesh: Optional[Mesh] = None):
+    """``mesh`` makes every serving program mesh-sharded (the sharded
+    synthesis SERVICE of BASELINE config 5, not just the BatchSynthesizer
+    library): a ``model`` axis shards the WN hidden channels Megatron-style
+    (parallel/sharding.py — one psum per WN layer rides ICI), a ``data``
+    axis shards micro-batch rows across chips (each chip synthesizes its
+    rows independently), and a ``time`` axis shards a single utterance's
+    mel frame axis (GSPMD halo exchanges for the conv overlaps). Placement
+    is purely input-driven — the jitted programs are unchanged, GSPMD
+    propagates from the committed param/mel shardings — so every
+    single-device contract (bucket exactness, per-row seeds, hot reload)
+    carries over; ``mesh=None`` is the unchanged single-device path."""
     hparams = checkpoint.get_hparams()
     hparams = overwrite_custom_hparams(hparams, custom_hparams)
     if compute_dtype is not None:
@@ -92,9 +105,10 @@ class Synthesizer:
 
     self.hparams = hparams
     self.config = WaveGlowConfig.from_hparams(hparams)
+    self.mesh = mesh
     # device-resident once at construction — passing host numpy params to a
     # jitted call would re-upload the whole model every inference
-    self.params = jax.device_put(fuse_for_inference(checkpoint.state_dict))
+    self.params = self._put_params(fuse_for_inference(checkpoint.state_dict))
     cdt = (jnp.bfloat16 if hparams.compute_dtype == "bfloat16" else None)
     self._cdt = cdt
 
@@ -106,7 +120,7 @@ class Synthesizer:
                              mode="zeros", compute_dtype=None)
     # device-resident bias, passed to the fused programs as a traced
     # ARGUMENT (not a closure constant) so update_params can hot-swap it
-    self._bias = jax.device_put(jnp.asarray(self.denoiser.bias_spec))
+    self._bias = self._put_replicated(jnp.asarray(self.denoiser.bias_spec))
     self.iteration = checkpoint.iteration
 
     config = self.config
@@ -217,6 +231,42 @@ class Synthesizer:
     self._infer_packed_many = jax.jit(_infer_packed_many)
     self._infer_packed_many_raw = jax.jit(_infer_packed_many_raw)
 
+  # -- mesh placement ---------------------------------------------------------
+
+  def _put_params(self, fused):
+    """Commit a fused params pytree: TP-sharded over a ``model`` axis
+    (Megatron col/row WN specs), replicated otherwise."""
+    if self.mesh is None:
+      return jax.device_put(fused)
+    from waveglow_tpu.parallel.mesh import MODEL_AXIS
+    if MODEL_AXIS in self.mesh.axis_names and self.mesh.shape[MODEL_AXIS] > 1:
+      from waveglow_tpu.parallel.sharding import shard_params
+      return shard_params(fused, self.mesh)
+    return jax.device_put(fused, NamedSharding(self.mesh, P()))
+
+  def _put_replicated(self, x):
+    if self.mesh is None:
+      return jax.device_put(x)
+    return jax.device_put(x, NamedSharding(self.mesh, P()))
+
+  def _put_mel(self, mel: np.ndarray):
+    """Commit a prepared [B, n_mels, F] mel: rows over the ``data`` axis
+    when B divides evenly (micro-batches are powers of two, so full
+    batches always shard; undersized remainders replicate — still correct,
+    just less parallel), the frame axis over a ``time`` axis (GSPMD halo
+    exchange), replicated otherwise. Single committed transfer either way."""
+    if self.mesh is None:
+      return mel
+    from waveglow_tpu.parallel.mesh import DATA_AXIS, TIME_AXIS
+    names = self.mesh.axis_names
+    spec = P()
+    if TIME_AXIS in names and self.mesh.shape[TIME_AXIS] > 1:
+      spec = P(None, None, TIME_AXIS)
+    elif (DATA_AXIS in names and self.mesh.shape[DATA_AXIS] > 1
+          and mel.shape[0] % self.mesh.shape[DATA_AXIS] == 0):
+      spec = P(DATA_AXIS)
+    return jax.device_put(mel, NamedSharding(self.mesh, spec))
+
   def update_params(self, checkpoint: CheckpointWaveglow, *,
                     custom_hparams: Optional[Dict[str, str]] = None) -> int:
     """Hot-swap model weights WITHOUT recompiling any program.
@@ -269,14 +319,14 @@ class Synthesizer:
 
     # tree_map_with_path also rejects tree-structure mismatches outright
     fused = jax.tree_util.tree_map_with_path(_check, self.params, fused)
-    new_params = jax.device_put(fused)
+    new_params = self._put_params(fused)
     new_denoiser = Denoiser(new_params, self.config, self.hparams,
                             mode="zeros", compute_dtype=None)
     # swap order: bias+denoiser first, params last — a racing dispatch sees
     # a consistent-enough pair either way (bias only shapes the subtracted
     # floor), and after this returns every new program call uses the pair
     self.denoiser = new_denoiser
-    self._bias = jax.device_put(jnp.asarray(new_denoiser.bias_spec))
+    self._bias = self._put_replicated(jnp.asarray(new_denoiser.bias_spec))
     self.params = new_params
     self.iteration = checkpoint.iteration
     logger.info("Hot-swapped weights to iteration %s", checkpoint.iteration)
@@ -320,6 +370,7 @@ class Synthesizer:
     # compile count the same way
     mel, true_samples = self._prepare_mel(
         mel, bucket_frames if noise is None else None)
+    mel = self._put_mel(mel)
 
     sigma_arr = jnp.float32(sigma)
     start = time.perf_counter()
@@ -426,6 +477,7 @@ class Synthesizer:
     thread still hands the device->host fetch to the finisher."""
     timepoint = datetime.datetime.now()
     mel, true_samples = self._prepare_mel(mel, bucket_frames)
+    mel = self._put_mel(mel)
     start = time.perf_counter()
     key = jax.random.PRNGKey(seed)
     if denoiser_strength > 0:
@@ -550,21 +602,24 @@ class Synthesizer:
           i = rows[0]
           key = jax.random.PRNGKey(seeds[i])
           true_n = jnp.int32(prepared[i][1])
+          solo_mel = self._put_mel(prepared[i][0])
           if denoise:
             dn, pcm, max_abs = self._infer_packed(
-                self.params, prepared[i][0], jnp.float32(sigmas[i]), key,
+                self.params, solo_mel, jnp.float32(sigmas[i]), key,
                 jnp.float32(strengths[i]), true_n, self._bias)
           else:
             dn, pcm, max_abs = self._infer_packed_raw(
-                self.params, prepared[i][0], jnp.float32(sigmas[i]), key,
+                self.params, solo_mel, jnp.float32(sigmas[i]), key,
                 true_n)
           pending.append((rows, pcm if pcm16 else dn,
                           jnp.reshape(max_abs, (1,))))
           continue
         # host-side stack: the whole batch crosses the tunnel as ONE
         # transfer inside the jitted call below, instead of one ~30 ms
-        # upload per request plus a device concat (_prepare_mel docstring)
-        mel_batch = np.concatenate([prepared[i][0] for i in rows], axis=0)
+        # upload per request plus a device concat (_prepare_mel docstring);
+        # with a data mesh the rows commit sharded across chips here
+        mel_batch = self._put_mel(
+            np.concatenate([prepared[i][0] for i in rows], axis=0))
         seed_arr = np.asarray([seeds[i] for i in rows], dtype=np.uint32)
         true_arr = np.asarray([prepared[i][1] for i in rows],
                               dtype=np.int32)
