@@ -963,3 +963,46 @@ class TestMeshServing:
     import waveglow_tpu.cli.serve_cmd as serve_cmd
     with pytest.raises(ValueError, match="mutually exclusive"):
       serve_cmd._run(ns_bad)
+
+
+class TestStageDecomposition:
+  """Per-request stage timings in /stats (stages_ms): transport stages from
+  the handler, service stages from the micro-batcher — the serving ceiling
+  must decompose under real load, not only in offline harnesses."""
+
+  def test_http_request_records_transport_stages(self):
+    svc = SynthesisService(tiny_checkpoint(seed=1, perturb_end=True),
+                           bucket_frames=BUCKET, max_batch=4)
+    httpd = make_server(svc, "127.0.0.1", 0)
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    url = f"http://127.0.0.1:{httpd.server_port}"
+    try:
+      import concurrent.futures
+      with _post(url + "/synthesize?seed=1", _mel_bytes(10, seed=1)) as r:
+        r.read()
+      stages = svc.snapshot_stats()["stages_ms"]
+      for name in ("read", "parse", "service", "serialize"):
+        assert stages[name]["n"] >= 1, stages
+        assert stages[name]["mean"] >= 0
+      # the service stage dominates transport for a device-bound request
+      assert stages["service"]["mean"] > stages["read"]["mean"]
+
+      # a concurrent burst through the micro-batcher adds the service-side
+      # decomposition (queue wait / submit / device+fetch)
+      def one(seed):
+        with _post(url + f"/synthesize?seed={seed}",
+                   _mel_bytes(10, seed=seed)) as r:
+          r.read()
+      with concurrent.futures.ThreadPoolExecutor(6) as pool:
+        list(pool.map(one, range(6)))
+      stages = svc.snapshot_stats()["stages_ms"]
+      for name in ("queue_wait", "submit", "device_fetch"):
+        assert stages[name]["n"] >= 6, stages
+      # stage sum ~ service time: the decomposition accounts for the whole
+      # service stage (loose bound; scheduling noise allowed)
+      total = sum(stages[n]["mean"]
+                  for n in ("queue_wait", "submit", "device_fetch"))
+      assert total <= stages["service"]["mean"] * 3
+    finally:
+      httpd.shutdown()
+      httpd.server_close()

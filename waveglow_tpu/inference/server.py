@@ -99,10 +99,17 @@ class RequestTooLargeError(ValueError):
 
 
 class _BatchRequest:
-  """One queued synthesis request awaiting micro-batch dispatch."""
+  """One queued synthesis request awaiting micro-batch dispatch.
+
+  The t_* marks decompose a request's service time into the stages /stats
+  reports (``stages_ms``): queue wait (enqueue -> its batch is taken),
+  submit (host prep + program submission under the device lock), and
+  device+fetch (async execution + the device->host transfer, which are
+  indistinguishable from the host without a profiler)."""
 
   __slots__ = ("mel", "sigma", "strength", "seed", "pcm16", "done",
-               "result", "error")
+               "result", "error", "t_enqueue", "t_taken", "t_submitted",
+               "t_done")
 
   def __init__(self, mel, sigma, strength, seed, pcm16):
     self.mel = mel
@@ -113,6 +120,10 @@ class _BatchRequest:
     self.done = threading.Event()
     self.result = None
     self.error = None
+    self.t_enqueue = time.perf_counter()
+    self.t_taken = None
+    self.t_submitted = None
+    self.t_done = None
 
 
 class _MicroBatcher:
@@ -157,6 +168,11 @@ class _MicroBatcher:
     req = _BatchRequest(mel, sigma, strength, seed, pcm16)
     self._q.put(req)
     req.done.wait()
+    if req.t_done is not None:  # error paths may leave marks unset
+      self._service._record_stages(
+          queue_wait=(req.t_taken - req.t_enqueue) * 1e3,
+          submit=(req.t_submitted - req.t_taken) * 1e3,
+          device_fetch=(req.t_done - req.t_submitted) * 1e3)
     if req.error is not None:
       raise req.error
     return req.result
@@ -211,6 +227,9 @@ class _MicroBatcher:
             r.result = res
         else:
           reqs[0].result = self._service.synth.serving_finalize(dispatched)
+        now = time.perf_counter()
+        for r in reqs:
+          r.t_done = now
       except Exception as e:  # noqa: BLE001
         for r in reqs:
           r.error = e
@@ -234,6 +253,9 @@ class _MicroBatcher:
     # (f32 + int16 waveforms, 1.5x the device->host bytes — the dominant
     # serving cost over a tunneled link) or per-row gather programs; real
     # deployments serve one format, so the split costs nothing there.
+    now = time.perf_counter()
+    for req in batch:
+      req.t_taken = now
     groups: Dict[tuple, List[_BatchRequest]] = {}
     for req in batch:
       key = (self._bucket(req.mel.shape[-1]), req.strength > 0, req.pcm16)
@@ -268,6 +290,9 @@ class _MicroBatcher:
           r.error = e
           r.done.set()
         continue
+      submitted = time.perf_counter()
+      for r in reqs:
+        r.t_submitted = submitted
       self._finish_q.put((dispatched, reqs, len(reqs) > 1))
 
 
@@ -333,6 +358,12 @@ class SynthesisService:
     self._latency_cap = 1024
     self._latency_total_n = 0
     self._latency_total_sum = 0.0
+    # per-stage latency decomposition (ms), trimmed windows like
+    # _latencies: transport stages (read/parse/serialize) recorded by the
+    # HTTP handler, service stages (queue_wait/submit/device_fetch) by the
+    # micro-batcher — /stats exposes them as "stages_ms" so the serving
+    # ceiling decomposes under REAL load, not only in offline harnesses
+    self._stages: Dict[str, List[float]] = {}
     self.started = time.time()
     self.stats = {"requests": 0, "errors": 0, "audio_seconds": 0.0,
                   "batched_requests": 0, "batches": 0, "rejected": 0,
@@ -625,6 +656,18 @@ class SynthesisService:
           # keep the newest half: recent traffic, O(1) amortized
           del self._latencies[:self._latency_cap // 2]
 
+  def _record_stages(self, **stage_ms: float) -> None:
+    """Record per-request stage durations (milliseconds) into bounded
+    windows; None values are skipped."""
+    with self._stats_lock:
+      for name, v in stage_ms.items():
+        if v is None:
+          continue
+        w = self._stages.setdefault(name, [])
+        w.append(float(v))
+        if len(w) > self._latency_cap:
+          del w[:self._latency_cap // 2]
+
   def health(self) -> Dict:
     hp = self.synth.hparams
     return {
@@ -648,6 +691,7 @@ class SynthesisService:
       out = dict(self.stats)
       lats = list(self._latencies)
       total_n, total_sum = self._latency_total_n, self._latency_total_sum
+      stages = {k: list(v) for k, v in self._stages.items()}
     out["uptime_seconds"] = round(time.time() - self.started, 1)
     out["audio_seconds"] = round(out["audio_seconds"], 3)
     with self._inflight_lock:
@@ -660,6 +704,12 @@ class SynthesisService:
           "window": len(lats), "mean": round(float(np.mean(lats)), 4),
           "p50": round(float(q[0]), 4), "p95": round(float(q[1]), 4),
           "p99": round(float(q[2]), 4)}
+    if stages:
+      out["stages_ms"] = {
+          name: {"n": len(w), "mean": round(float(np.mean(w)), 2),
+                 "p50": round(float(np.median(w)), 2),
+                 "p95": round(float(np.quantile(w, 0.95)), 2)}
+          for name, w in stages.items()}
     return out
 
   def prometheus_metrics(self) -> str:
@@ -824,8 +874,10 @@ class _Handler(BaseHTTPRequestHandler):
         # shed BEFORE buffering the body (up to 256 MB a saturated daemon
         # would only discard); _admit() still enforces at dispatch
         self.service.check_capacity()
+      t_read = time.perf_counter()
       body = self._read_body()
       body_read = True
+      t_parse = time.perf_counter()
 
       if route == "/reload":
         payload = json.loads(body)
@@ -837,6 +889,7 @@ class _Handler(BaseHTTPRequestHandler):
       pcm16 = fmt == "wav"  # int16 conversion happens on-device
       if route == "/synthesize":
         mel = np.load(io.BytesIO(body), allow_pickle=False)
+        t_service = time.perf_counter()
         result = self.service.synthesize_mel_packed(
             mel, sigma=sigma, denoiser_strength=strength, seed=seed,
             pcm16=pcm16)
@@ -847,6 +900,7 @@ class _Handler(BaseHTTPRequestHandler):
         if rate != self.service.sampling_rate:
           raise ValueError(f"expected {self.service.sampling_rate} Hz wav, "
                            f"got {rate}")
+        t_service = time.perf_counter()
         result = self.service.synthesize_wav(
             convert_wav(wav, np.float32),
             sigma=sigma, denoiser_strength=strength, seed=seed, pcm16=pcm16)
@@ -884,6 +938,7 @@ class _Handler(BaseHTTPRequestHandler):
       return
 
     wav = result.samples
+    t_serialize = time.perf_counter()
     payload = (_wav_bytes(wav, self.service.sampling_rate) if fmt == "wav"
                else _npy_bytes(wav))
     self.send_response(200)
@@ -897,6 +952,11 @@ class _Handler(BaseHTTPRequestHandler):
                      "true" if result.was_overamplified else "false")
     self.end_headers()
     self.wfile.write(payload)
+    done = time.perf_counter()
+    self.service._record_stages(read=(t_parse - t_read) * 1e3,
+                                parse=(t_service - t_parse) * 1e3,
+                                service=(t_serialize - t_service) * 1e3,
+                                serialize=(done - t_serialize) * 1e3)
 
   def _stream_response(self, mel, *, sigma, denoiser_strength, seed,
                        chunk_frames):
