@@ -77,16 +77,18 @@ def main():
   import numpy as np
 
   from waveglow_tpu.checkpointing import (get_last_checkpoint_any,
-                                          load_checkpoint_any,
-                                          sniff_checkpoint_format)
+                                          load_checkpoint_any)
   from waveglow_tpu.dsp.mel import MelSTFT
   from waveglow_tpu.hparams import parse_custom_hparams
   from waveglow_tpu.inference.synthesizer import Synthesizer
   from waveglow_tpu.models.waveglow import infer_noise_shapes
 
   path = Path(args.checkpoint)
-  if path.is_dir() and sniff_checkpoint_format(path) != "orbax":
-    path, iteration = get_last_checkpoint_any(path)
+  if path.is_dir():
+    try:  # a CHECKPOINTS directory: use the last iteration
+      path, _ = get_last_checkpoint_any(path)
+    except FileNotFoundError:
+      pass  # a single .orbax checkpoint directory itself
   ckpt = load_checkpoint_any(path)
   overrides = parse_custom_hparams(args.custom_hparams)
 

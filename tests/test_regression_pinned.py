@@ -42,3 +42,38 @@ def test_pinned_tiny_synthesis():
   np.testing.assert_allclose(wav[0, :10], PINNED_WAV_FIRST10, atol=1e-4)
   assert float(wav.sum()) == pytest.approx(PINNED_SUM, abs=2e-3)
   assert float(np.abs(wav).max()) == pytest.approx(PINNED_ABSMAX, abs=1e-4)
+
+
+def test_bf16_quality_artifact_bounds():
+  """Pin the committed full-scale bf16-vs-f32 quality artifact
+  (benchmarks/bf16_quality_tpu.json, scripts/bench_bf16_quality.py on the
+  TPU with trained 12x256 weights): the bf16 production mode must stay
+  within these bounds of float32 on the SAME injected noise, and must not
+  degrade the task-level copy-synthesis metrics. If a re-measurement
+  regresses past these, the bf16 headline loses its quality claim."""
+  import json
+  from pathlib import Path
+
+  path = (Path(__file__).resolve().parent.parent / "benchmarks"
+          / "bf16_quality_tpu.json")
+  art = json.loads(path.read_text())
+
+  assert art["config"] == "12x256"  # full scale, not a toy config
+  assert art["frames"] >= 800      # the whole 9.6 s fixture
+
+  delta = art["waveform_delta"]
+  assert delta["max_abs"] < 0.01            # measured 0.0021
+  assert delta["rms_delta_over_rms_f32"] < 0.01   # measured 0.003
+  assert 0.99 < delta["rms_ratio_bf16_over_f32"] < 1.01
+
+  mode = art["bf16_vs_f32"]
+  assert mode["cosine"] > 0.999             # measured 1.0
+  assert mode["ssim"] > 0.995               # measured 0.9997
+  assert mode["mcd_dtw"] < 5.0              # measured 0.97 (source scale ~773)
+
+  # task-level metrics must agree between modes (bf16 costs ~nothing where
+  # quality is actually read)
+  f32, bf16 = art["f32_vs_source"], art["bf16_vs_source"]
+  assert abs(f32["cosine"] - bf16["cosine"]) < 0.001
+  assert abs(f32["mcd_dtw"] - bf16["mcd_dtw"]) < 2.0
+  assert abs(f32["ssim"] - bf16["ssim"]) < 0.005

@@ -1006,3 +1006,70 @@ class TestStageDecomposition:
     finally:
       httpd.shutdown()
       httpd.server_close()
+
+
+@pytest.mark.slow
+def test_serve_cli_subprocess_with_data_mesh(tmp_path):
+  """The complete production entry: `python -m waveglow_tpu serve
+  --mesh-data 4` as a REAL subprocess daemon on an 8-virtual-device CPU
+  backend — CLI parsing, mesh construction, service startup, HTTP traffic,
+  SIGTERM drain, exit 0."""
+  import os
+  import signal
+  import socket
+  import subprocess
+  import sys
+  import time
+
+  ck_path = tmp_path / "tiny.npz"
+  tiny_checkpoint(seed=1, perturb_end=True).save(ck_path)
+
+  s = socket.socket()
+  s.bind(("127.0.0.1", 0))
+  port = s.getsockname()[1]
+  s.close()
+
+  # the daemon must provision its own CPU devices: strip every axon/jax
+  # knob so the TPU sitecustomize hook stays dormant, then plain env vars
+  # take effect in the child
+  env = {k: v for k, v in os.environ.items()
+         if not k.startswith(("JAX_", "XLA_", "PALLAS_", "AXON_", "TPU_"))}
+  env["JAX_PLATFORMS"] = "cpu"
+  env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+
+  from pathlib import Path
+  repo = str(Path(__file__).resolve().parent.parent)
+  env["PYTHONPATH"] = repo
+  proc = subprocess.Popen(
+      [sys.executable, "-m", "waveglow_tpu", "serve", str(ck_path),
+       "--port", str(port), "--mesh-data", "4", "--bucket-frames", "16"],
+      stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, env=env,
+      cwd=repo)
+  url = f"http://127.0.0.1:{port}"
+  try:
+    deadline = time.time() + 180
+    health = None
+    while time.time() < deadline:
+      if proc.poll() is not None:
+        out, _ = proc.communicate()
+        raise AssertionError(f"daemon exited rc={proc.returncode}:\n{out}")
+      try:
+        with urllib.request.urlopen(url + "/healthz", timeout=5) as r:
+          health = json.loads(r.read())
+          break
+      except (urllib.error.URLError, ConnectionError):
+        time.sleep(0.5)
+    assert health is not None, "daemon never became healthy"
+    assert health["mesh"] == {"data": 4, "model": 1}
+
+    with _post(url + "/synthesize?seed=3&format=npy",
+               _mel_bytes(10, seed=3)) as r:
+      wav = np.load(io.BytesIO(r.read()), allow_pickle=False)
+    assert wav.shape == (10 * 256,)
+
+    proc.send_signal(signal.SIGTERM)
+    out, _ = proc.communicate(timeout=60)
+    assert proc.returncode == 0, f"SIGTERM exit rc={proc.returncode}:\n{out}"
+  finally:
+    if proc.poll() is None:
+      proc.kill()

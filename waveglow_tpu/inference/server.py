@@ -30,14 +30,20 @@ TPU-serving defaults already measured in docs/PERFORMANCE.md:
     instead of one unbounded device program; /stats reports request-latency
     percentiles (p50/p95/p99), in-flight depth, and the rejected count.
 
+The daemon also serves MESH-SHARDED (multi-chip) models — the sharded
+synthesis service of BASELINE config 5: ``serve --mesh-data/--mesh-model/
+--mesh-time`` (see SynthesisService.__init__ and docs/OPERATIONS.md).
+
 Endpoints (JSON errors, application/json):
 
-  GET  /healthz               -> {"status": "ok", model/config summary}
-  GET  /stats                 -> counters, latency percentiles, in-flight
+  GET  /healthz               -> {"status": "ok", model/config/mesh summary}
+  GET  /stats                 -> counters, latency percentiles, per-stage
+                              decomposition (stages_ms), in-flight
   GET  /metrics               -> the same in Prometheus text format
   POST /reload                body: JSON {"checkpoint": "<daemon-side
                               path>"}; zero-recompile weight hot-swap
-                              (same architecture only)
+                              (same architecture only; torch-format
+                              checkpoints need --allow-torch-reload)
   POST /synthesize            body: .npy mel [n_mels, frames] (float32)
   POST /synthesize-wav        body: .wav file (copy synthesis)
   POST /stream                body: .npy mel; response: PCM16 chunks
@@ -50,6 +56,8 @@ Query params for the POST endpoints: ``sigma`` (default 1.0),
 ``denoiser_strength`` (default 0.0005), ``seed`` (default 0), and
 ``format=wav|npy`` (synthesize* only; wav = int16 RIFF, npy = float32
 samples). Responses carry ``X-Sampling-Rate`` and ``X-Audio-Seconds``.
+Request mels over ``max_frames`` are rejected with HTTP 413 (size-axis
+admission control, RequestTooLargeError).
 
 Run it: ``waveglow-tpu serve CHECKPOINT --port 8642`` (cli/serve_cmd.py).
 """

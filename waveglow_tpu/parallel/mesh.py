@@ -96,8 +96,11 @@ def _topology_grid(shape: Tuple[int, ...], devices) -> np.ndarray:
           per, dcn, devices, process_is_granule=by_process)
     return mesh_utils.create_device_mesh(shape, devices)
   except Exception as e:  # noqa: BLE001 — no topology (CPU, device subsets)
-    logger.debug("topology-aware mesh unavailable (%s); "
-                 "using order-preserving reshape", e)
+    # on a single granule the reshape loses nothing; across granules it may
+    # place a model group astride the DCN boundary — tell the operator
+    log = logger.warning if len(granules) > 1 else logger.debug
+    log("topology-aware mesh unavailable (%s); using order-preserving "
+        "reshape over %d slices/hosts", e, len(granules))
     return np.array(devices).reshape(shape)
 
 
