@@ -14,6 +14,6 @@ Public API surface (mirrors reference src/waveglow/__init__.py exports):
   HParams             - layered hyperparameters
 """
 
-__version__ = "0.4.0"
+__version__ = "0.5.0"
 
 from waveglow_tpu.hparams import HParams, TSTFTHParams  # noqa: F401
