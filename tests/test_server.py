@@ -610,6 +610,10 @@ class TestReloadAndMetrics:
     assert float(lines["waveglow_requests_total"]) >= 1
     assert float(lines["waveglow_audio_seconds_total"]) > 0
     assert float(lines["waveglow_in_flight"]) == 0
+    # per-stage gauges: the HTTP request above recorded transport stages
+    assert "# TYPE waveglow_request_stage_seconds gauge" in text
+    assert 'waveglow_request_stage_seconds{stage="service",quantile="0.5"}' \
+        in text
 
 
 class TestStreamInterleaving:

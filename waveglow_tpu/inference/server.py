@@ -760,6 +760,17 @@ class SynthesisService:
                      f'{{quantile="{qt}"}} {lat[key]}')
       lines.append(f"waveglow_request_latency_seconds_sum {lat['sum']}")
       lines.append(f"waveglow_request_latency_seconds_count {lat['count']}")
+    if "stages_ms" in s:
+      # windowed per-stage quantiles (no cumulative sum exists for them,
+      # so a gauge with stage/quantile labels, not a summary)
+      lines.append("# HELP waveglow_request_stage_seconds Per-stage request "
+                   "latency over the newest requests")
+      lines.append("# TYPE waveglow_request_stage_seconds gauge")
+      for stage, st in sorted(s["stages_ms"].items()):
+        for qt, key in (("0.5", "p50"), ("0.95", "p95")):
+          lines.append("waveglow_request_stage_seconds"
+                       f'{{stage="{stage}",quantile="{qt}"}} '
+                       f"{st[key] / 1e3:.6f}")
     return "\n".join(lines) + "\n"
 
 
