@@ -105,3 +105,10 @@ def add_compute_arguments(parser: argparse.ArgumentParser) -> None:
                       default=None,
                       help="matmul precision: float32 (reference parity) or "
                            "bfloat16 (fast TPU path)")
+  parser.add_argument("--compile-cache", type=str, default=None,
+                      metavar="DIR",
+                      help="persistent XLA compile cache directory: repeat "
+                           "runs load their compiled programs from disk "
+                           "instead of recompiling (~37 s per full-model "
+                           "program on a tunneled TPU; default: "
+                           "$WAVEGLOW_TPU_COMPILE_CACHE if set)")

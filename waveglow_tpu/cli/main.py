@@ -150,6 +150,13 @@ def run(args=None) -> int:
   try_init_file_logger(ns.log, debug=debug)
   log_platform_banner(__version__)
 
+  # persistent XLA compile cache, centrally for every subcommand BEFORE the
+  # handler's first jit: --compile-cache where the subcommand defines it,
+  # else $WAVEGLOW_TPU_COMPILE_CACHE (a no-op when neither is set; commands
+  # that never compile pay nothing — jax is only imported if enabled)
+  from waveglow_tpu.compile_cache import enable_compile_cache
+  enable_compile_cache(getattr(ns, "compile_cache", None))
+
   start = time.perf_counter()
   try:
     success = ns.handler(ns)
