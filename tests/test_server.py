@@ -929,6 +929,30 @@ class TestMeshServing:
       httpd.shutdown()
       httpd.server_close()
 
+  def test_tp_mesh_classic_and_stream_paths(self, service):
+    """The NON-packed serving paths under a TP mesh: the classic
+    InferenceResult path (synthesize_mel -> _infer_keyed) and the
+    streaming generator both run against sharded params and match the
+    unsharded daemon."""
+    from waveglow_tpu.parallel import mesh as mesh_lib
+
+    mesh = mesh_lib.make_mesh(data=1, model=4)
+    svc = SynthesisService(tiny_checkpoint(seed=1, perturb_end=True),
+                           bucket_frames=BUCKET, max_batch=1, mesh=mesh)
+    mel = rand_mels(1, 12, seed=8)[0]
+
+    classic = svc.synthesize_mel(mel, seed=8)
+    expected = service.synthesize_mel(mel, seed=8)
+    np.testing.assert_allclose(classic.wav_denoised, expected.wav_denoised,
+                               atol=1e-4)
+
+    pieces = [p for p in svc.stream_mel(mel, seed=8, chunk_frames=4,
+                                        denoiser_strength=0.0)]
+    got = np.concatenate(pieces)
+    ref_pieces = [p for p in service.stream_mel(mel, seed=8, chunk_frames=4,
+                                                denoiser_strength=0.0)]
+    np.testing.assert_allclose(got, np.concatenate(ref_pieces), atol=1e-4)
+
   def test_time_mesh_daemon_long_utterance(self, service):
     """An 8-way time mesh: the request mel's frame axis shards across all
     chips (GSPMD conv-halo exchanges); output equals the unsharded daemon."""

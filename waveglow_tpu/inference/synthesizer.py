@@ -97,7 +97,16 @@ class Synthesizer:
     is purely input-driven — the jitted programs are unchanged, GSPMD
     propagates from the committed param/mel shardings — so every
     single-device contract (bucket exactness, per-row seeds, hot reload)
-    carries over; ``mesh=None`` is the unchanged single-device path."""
+    carries over; ``mesh=None`` is the unchanged single-device path.
+
+    Single-controller requirement: result fetches (``np.asarray`` on the
+    sharded outputs) need every mesh device addressable from THIS process
+    — true for single-host multi-chip (e.g. one v4/v5e host's 4-8 chips)
+    and for single-controller runtimes (Pathways); a multi-HOST mesh under
+    plain multi-process jax would leave shards non-addressable. Scale the
+    daemon across hosts by running one daemon per host behind a load
+    balancer (docs/OPERATIONS.md) rather than one daemon over a
+    multi-host mesh."""
     hparams = checkpoint.get_hparams()
     hparams = overwrite_custom_hparams(hparams, custom_hparams)
     if compute_dtype is not None:
