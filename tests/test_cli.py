@@ -182,6 +182,38 @@ class TestEndToEnd:
       wav, sr = wav_to_float32(out / f"len{f}.wav")
       assert len(wav) == f * 256, (f, len(wav))
 
+  def test_04c_synthesize_batched_matches_solo(self, workspace):
+    """--batch N fuses same-bucket files into batched device dispatches;
+    outputs must match the reference-exact --batch 1 path up to float
+    rounding (identical seed-derived noise per file)."""
+    from waveglow_tpu.checkpointing.store import get_last_checkpoint
+    from waveglow_tpu.dsp.audio_io import wav_to_float32
+
+    mel_dir = workspace / "mels_batched"
+    mel_dir.mkdir(parents=True, exist_ok=True)
+    rng = np.random.default_rng(3)
+    lengths = [10, 12, 23, 14, 9]  # 3 share bucket 16, 1 at 32, 1 at 16
+    for i, f in enumerate(lengths):
+      np.save(mel_dir / f"m{i}_len{f}.npy",
+              rng.standard_normal((80, f)).astype(np.float32))
+
+    ckpt, _ = get_last_checkpoint(workspace / "ckpts")
+    solo_out = workspace / "synth_solo_out"
+    rc = run(["synthesize", str(ckpt), str(mel_dir), "--custom-seed", "7",
+              "-out", str(solo_out), "--bucket-frames", "16",
+              "--log", str(workspace / "cli.log")])
+    assert rc == 0
+    batch_out = workspace / "synth_batch_out"
+    rc = run(["synthesize", str(ckpt), str(mel_dir), "--custom-seed", "7",
+              "-out", str(batch_out), "--bucket-frames", "16",
+              "--batch", "4", "--log", str(workspace / "cli.log")])
+    assert rc == 0
+    for i, f in enumerate(lengths):
+      solo, sr = wav_to_float32(solo_out / f"m{i}_len{f}.wav")
+      batched, _ = wav_to_float32(batch_out / f"m{i}_len{f}.wav")
+      assert len(solo) == len(batched) == f * 256
+      np.testing.assert_allclose(batched, solo, atol=2e-4), i
+
   def test_05_validate(self, workspace):
     out = workspace / "validation"
     rc = run(["validate", str(workspace / "ckpts"), str(out),
