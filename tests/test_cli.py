@@ -192,7 +192,9 @@ class TestEndToEnd:
     mel_dir = workspace / "mels_batched"
     mel_dir.mkdir(parents=True, exist_ok=True)
     rng = np.random.default_rng(3)
-    lengths = [10, 12, 23, 14, 9]  # 3 share bucket 16, 1 at 32, 1 at 16
+    lengths = [10, 12, 23, 14, 9]  # 10/12/14/9 co-batch in bucket 16
+                                   # (4-row fused dispatch); 23 -> bucket 32
+                                   # solo — exercises batch + remainder
     for i, f in enumerate(lengths):
       np.save(mel_dir / f"m{i}_len{f}.npy",
               rng.standard_normal((80, f)).astype(np.float32))
@@ -212,7 +214,8 @@ class TestEndToEnd:
       solo, sr = wav_to_float32(solo_out / f"m{i}_len{f}.wav")
       batched, _ = wav_to_float32(batch_out / f"m{i}_len{f}.wav")
       assert len(solo) == len(batched) == f * 256
-      np.testing.assert_allclose(batched, solo, atol=2e-4), i
+      np.testing.assert_allclose(batched, solo, atol=2e-4,
+                                 err_msg=f"file {i} (len {f})")
 
   def test_05_validate(self, workspace):
     out = workspace / "validation"
