@@ -1101,3 +1101,71 @@ def test_serve_cli_subprocess_with_data_mesh(tmp_path):
   finally:
     if proc.poll() is None:
       proc.kill()
+
+
+class TestMidStreamFailure:
+
+  def test_synthesis_error_mid_stream_truncates_without_http_garbage(self):
+    """Once /stream commits its 200, a later synthesis error must NOT write
+    a second HTTP status/JSON into the PCM body (the client would decode it
+    as garbage audio) — the response truncates, the connection closes, and
+    the failure counts as an error but NOT as a served request."""
+    svc = SynthesisService(tiny_checkpoint(seed=1, perturb_end=True),
+                           bucket_frames=BUCKET)
+
+    real_stream = svc.synth.stream
+
+    def broken_stream(*args, **kw):
+      gen = real_stream(*args, **kw)
+      yield next(gen)  # first chunk succeeds -> 200 committed
+      gen.close()
+      raise RuntimeError("injected device failure")
+
+    svc.synth.stream = broken_stream
+    httpd = make_server(svc, "127.0.0.1", 0)
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    url = f"http://127.0.0.1:{httpd.server_port}"
+    try:
+      before = svc.snapshot_stats()
+      with _post(url + "/stream?seed=1&chunk_frames=4",
+                 _mel_bytes(12, seed=1)) as r:
+        assert r.status == 200
+        body = r.read()  # truncated at the failure point
+      # a partial PCM body (the windowed denoiser's first emitted piece),
+      # with no trailing "HTTP/1.1 400 ..." status or JSON text
+      assert 0 < len(body) < 12 * 256 * 2  # truncated, not the full stream
+      assert len(body) % 2 == 0            # whole int16 samples
+      assert b"HTTP/1.1" not in body and b"error" not in body
+      after = svc.snapshot_stats()
+      assert after["errors"] == before["errors"] + 1
+      assert after["requests"] == before["requests"]  # not a served request
+      assert svc.in_flight() == 0  # admission released despite the error
+      # daemon still healthy for the next request
+      svc.synth.stream = real_stream
+      with _post(url + "/synthesize?format=npy", _mel_bytes(10)) as r2:
+        assert r2.status == 200
+        r2.read()
+    finally:
+      httpd.shutdown()
+      httpd.server_close()
+
+
+class TestLoadCheckpointAs:
+
+  def test_dispatch_and_unknown_format(self, tmp_path):
+    """load_checkpoint_as loads by the CALLER's sniff result (the /reload
+    TOCTOU contract) and rejects unknown format names."""
+    from waveglow_tpu.checkpointing import (load_checkpoint_as,
+                                            sniff_checkpoint_format)
+
+    path = tmp_path / "c.npz"
+    tiny_checkpoint(seed=2).save(path)
+    fmt = sniff_checkpoint_format(path)
+    assert fmt == "npz"
+    assert load_checkpoint_as(path, fmt).iteration == 100
+    with pytest.raises(ValueError, match="unknown checkpoint format"):
+      load_checkpoint_as(path, "exotic")
+    # a torch-sniffed path never silently falls back to another loader:
+    # np.load(allow_pickle=False) on a swapped non-npz file fails safely
+    with pytest.raises(Exception):
+      load_checkpoint_as(tmp_path / "missing.pt", "torch")

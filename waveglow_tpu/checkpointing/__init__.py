@@ -38,19 +38,34 @@ def sniff_checkpoint_format(path: Union[str, Path]) -> str:
   return "npz"
 
 
-def load_checkpoint_any(path: Union[str, Path]) -> CheckpointWaveglow:
-  """Load a checkpoint regardless of format: native .npz, orbax directory,
-  or torch .pt (all reference formats). Detection is by content, not
-  extension — see :func:`sniff_checkpoint_format`.
+def load_checkpoint_as(path: Union[str, Path],
+                       fmt: str) -> CheckpointWaveglow:
+  """Load a checkpoint as a SPECIFIC format (from
+  :func:`sniff_checkpoint_format`). Callers that gate on the sniffed
+  format (the serving daemon's /reload torch-pickle gate) must load
+  through the SAME sniff result — re-sniffing at load time would let a
+  file swapped between the two reads reach ``torch.load`` despite the
+  gate (TOCTOU). A swapped file under a non-torch ``fmt`` fails safely:
+  ``np.load(allow_pickle=False)`` and the orbax restore never execute
+  pickle content.
   """
-  fmt = sniff_checkpoint_format(path)
   if fmt == "orbax":
     from waveglow_tpu.checkpointing.orbax_store import restore_host
     return restore_host(Path(path))
   if fmt == "npz":
     return CheckpointWaveglow.load(path)
+  if fmt != "torch":
+    raise ValueError(f"unknown checkpoint format {fmt!r}")
   from waveglow_tpu.checkpointing.import_torch import load_torch_checkpoint
   return load_torch_checkpoint(path)
+
+
+def load_checkpoint_any(path: Union[str, Path]) -> CheckpointWaveglow:
+  """Load a checkpoint regardless of format: native .npz, orbax directory,
+  or torch .pt (all reference formats). Detection is by content, not
+  extension — see :func:`sniff_checkpoint_format`.
+  """
+  return load_checkpoint_as(path, sniff_checkpoint_format(path))
 
 
 def load_checkpoint_lazy(path: Union[str, Path]):

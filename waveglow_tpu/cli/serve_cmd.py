@@ -106,11 +106,10 @@ def init_serve_parser(parser: ArgumentParser):
 
 def _run(ns: Namespace) -> bool:
   from waveglow_tpu.checkpointing import load_checkpoint_any
-  from waveglow_tpu.compile_cache import enable_compile_cache
   from waveglow_tpu.inference.server import SynthesisService, serve_forever
 
-  # must precede the first jit compile (Synthesizer construction)
-  enable_compile_cache(ns.compile_cache)
+  # --compile-cache is enabled centrally by cli/main.py's run wrapper
+  # BEFORE this handler (it must precede the first jit compile)
   mesh = None
   if ns.mesh_time > 1:
     if ns.mesh_data > 1 or ns.mesh_model > 1:

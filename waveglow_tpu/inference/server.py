@@ -557,17 +557,19 @@ class SynthesisService:
     file. The safe formats (native npz, orbax) carry no executable content
     and stay hot-swappable by default.
     """
-    from waveglow_tpu.checkpointing import (load_checkpoint_any,
+    from waveglow_tpu.checkpointing import (load_checkpoint_as,
                                             sniff_checkpoint_format)
 
-    if (not self.allow_torch_reload
-        and sniff_checkpoint_format(checkpoint_path) == "torch"):
+    fmt = sniff_checkpoint_format(checkpoint_path)
+    if not self.allow_torch_reload and fmt == "torch":
       raise ValueError(
           "refusing to hot-swap a torch-format checkpoint: the torch "
           "importer deserializes arbitrary pickles. Convert it to the "
           "native format first (waveglow-tpu download / export), or start "
           "the daemon with --allow-torch-reload on a trusted network")
-    checkpoint = load_checkpoint_any(checkpoint_path)
+    # load through the SAME sniff result: re-sniffing inside the loader
+    # would let a file swapped between the checks reach torch.load (TOCTOU)
+    checkpoint = load_checkpoint_as(checkpoint_path, fmt)
     with self._device_lock:
       iteration = self.synth.update_params(
           checkpoint, custom_hparams=self.custom_hparams)
@@ -604,6 +606,16 @@ class SynthesisService:
                            else denoiser_strength),
         seed=seed, chunk_frames=chunk_frames or self.chunk_frames or 128,
         pcm16=pcm16)
+    # served=True on normal exhaustion AND on client abort (GeneratorExit
+    # from the transport closing us): both delivered audio and must land in
+    # requests/audio_seconds — code AFTER a plain finally would never run
+    # on abort, silently dropping every aborted stream from /stats. A
+    # SYNTHESIS error unwinding through here stays served=False: the
+    # transport layer counts it as an error, and counting it as a request
+    # too would skew success rates vs every other endpoint. Stream wall
+    # time is paced by the CONSUMING client (socket backpressure), so it
+    # stays out of the request-latency histogram.
+    served = False
     try:
       while True:
         with self._device_lock:
@@ -613,18 +625,15 @@ class SynthesisService:
             break
         n += len(piece) / self.sampling_rate
         yield piece
+      served = True
+    except GeneratorExit:
+      served = True
+      raise
     finally:
-      # accounting lives in the finally so aborted streams count too: a
-      # client disconnect closes this generator (GeneratorExit), and code
-      # AFTER the finally would never run — /stats and /metrics would
-      # silently drop every aborted stream's request and partial audio
-      # seconds. Stream wall time is paced by the CONSUMING client (socket
-      # backpressure — a realtime player holds the generator open for the
-      # utterance duration), so it stays out of the request-latency
-      # histogram; operators alerting on p99 must see service latency only.
       gen.close()
       self._release()
-      self._count(n)
+      if served:
+        self._count(n)
 
   # -- helpers ---------------------------------------------------------------
 
@@ -1002,6 +1011,14 @@ class _Handler(BaseHTTPRequestHandler):
       # client hung up mid-utterance: stop synthesizing the remaining
       # chunks and release the device lock (held by the open generator)
       logger.info("stream client disconnected early")
+    except Exception:  # noqa: BLE001 — the 200 is already committed: a
+      # second status line / JSON body would decode as garbage PCM
+      # appended to the client's audio. Truncate the stream (the
+      # Connection: close below tells the client it ended) and count the
+      # failure here, since do_POST's 400 path must not run.
+      logger.exception("stream failed mid-utterance; truncating response")
+      with self.service._stats_lock:
+        self.service.stats["errors"] += 1
     finally:
       pieces.close()
     self.close_connection = True
