@@ -1169,3 +1169,33 @@ class TestLoadCheckpointAs:
     # np.load(allow_pickle=False) on a swapped non-npz file fails safely
     with pytest.raises(Exception):
       load_checkpoint_as(tmp_path / "missing.pt", "torch")
+
+
+class TestChunkedService:
+
+  def test_chunked_daemon_synthesize_matches_unchunked(self, service):
+    """A daemon started with --chunk-frames (constant activation memory for
+    unbounded request lengths) serves /synthesize through the chunked
+    fallback (the micro-batcher is disabled there): outputs must equal the
+    unchunked daemon's for both response formats."""
+    svc = SynthesisService(tiny_checkpoint(seed=1, perturb_end=True),
+                           bucket_frames=BUCKET, chunk_frames=4)
+    assert svc._batcher is None  # chunked path serializes on purpose
+    httpd = make_server(svc, "127.0.0.1", 0)
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    url = f"http://127.0.0.1:{httpd.server_port}"
+    try:
+      with _post(url + "/synthesize?seed=9&format=npy",
+                 _mel_bytes(12, seed=9)) as r:
+        got = np.load(io.BytesIO(r.read()), allow_pickle=False)
+      expected = service.synth.infer_serving(
+          rand_mels(1, 12, seed=9)[0], seed=9, bucket_frames=BUCKET)
+      np.testing.assert_allclose(got, expected.samples, atol=1e-4)
+
+      with _post(url + "/synthesize?seed=9", _mel_bytes(12, seed=9)) as r:
+        rate, wav = wavfile.read(io.BytesIO(r.read()))
+      assert rate == svc.sampling_rate
+      assert wav.dtype == np.int16 and wav.shape == (12 * 256,)
+    finally:
+      httpd.shutdown()
+      httpd.server_close()
