@@ -184,3 +184,75 @@ class TestStreamedSynthesisDenoised:
     assert p.dtype == np.int16
     expect = np.asarray(np.round(np.clip(f, -1.0, 1.0) * 32767.0), np.int16)
     np.testing.assert_array_equal(p, expect)
+
+
+@pytest.fixture(scope="module")
+def denoiser_bias():
+  """A denoiser with a NONZERO bias spectrum: fresh init_params zero-init
+  the WN end convs, so sigma=0 synthesis — and therefore bias_spec — is
+  exactly zero and the spectral-subtraction path (bias*strength, clip)
+  goes unexercised. Perturbing the end convs makes the bias real."""
+  params = init_params(CFG, seed=0)
+  rng = np.random.default_rng(100)
+  for flow in params["flows"]:
+    end = flow["wn"]["end"]
+    end["w"] = (0.3 * rng.standard_normal(end["w"].shape)).astype(np.float32)
+    end["b"] = (0.3 * rng.standard_normal(end["b"].shape)).astype(np.float32)
+  dn = Denoiser(fuse_for_inference(params), CFG, TSTFTHParams(), mode="zeros")
+  assert float(np.abs(np.asarray(dn.bias_spec)).max()) > 0
+  return dn
+
+
+class TestStreamingDenoiserWithRealBias:
+  """Regression coverage for the round-5 review findings: the original
+  exactness pins all ran with bias_spec == 0, so bias-dependent bugs (and
+  a flush-time buffer-retention crash) passed the suite."""
+
+  def test_short_tail_flush_matches_full(self, denoiser_bias):
+    """Streams whose tail (total mod block) is under block - hop - half
+    crashed flush(): the final window's left-clamp reached raw samples the
+    push-time retention had already dropped. Default 16384 block with a
+    30000-sample stream is such a case."""
+    wav = _audio(30000, seed=11)
+    full = np.asarray(denoiser_bias(jnp.asarray(wav[None]), STRENGTH))[0]
+    sd = StreamingDenoiser(denoiser_bias, STRENGTH, block_samples=16384)
+    outs = [p for _, p in sd.push(wav)] + [p for _, p in sd.flush()]
+    streamed = np.concatenate(outs)
+    assert streamed.shape == full.shape
+    np.testing.assert_allclose(streamed, full, atol=2e-6)
+
+  def test_many_tail_lengths_match_full(self, denoiser_bias):
+    """Sweep tails across the block: every residue class must flush
+    cleanly and reassemble to the one-call denoiser (nonzero bias)."""
+    block = 2048
+    for total in (4096, 4096 + 256, 4096 + 1024, 6144 - 256, 8191):
+      wav = _audio(total, seed=total)
+      full = np.asarray(denoiser_bias(jnp.asarray(wav[None]), STRENGTH))[0]
+      sd = StreamingDenoiser(denoiser_bias, STRENGTH, block_samples=block)
+      outs = [p for _, p in sd.push(wav)] + [p for _, p in sd.flush()]
+      streamed = np.concatenate(outs)
+      assert streamed.shape == full.shape, total
+      np.testing.assert_allclose(streamed, full, atol=2e-6,
+                                 err_msg=f"total={total}")
+
+  def test_empty_and_subhop_flush_return_nothing(self, denoiser_bias):
+    """A stream aborted before any audio (or a sub-hop utterance) ends
+    gracefully: flush() returns [] instead of pushing an empty waveform
+    through the full denoiser's reflect pad (a crash)."""
+    assert StreamingDenoiser(denoiser_bias, STRENGTH).flush() == []
+    sd = StreamingDenoiser(denoiser_bias, STRENGTH)
+    assert sd.push(np.zeros(100, np.float32)) == []
+    assert sd.flush() == []
+
+  def test_odd_stft_ratio_rejected_at_construction(self):
+    """hop must divide filter_length/2: an odd ratio (768/256) misaligns
+    every window's frame grid with the full-signal one and the stream
+    SILENTLY diverged from Denoiser (2.9e-3 measured) — now it fails
+    loudly at construction."""
+    hp = TSTFTHParams()
+    hp.filter_length = 768
+    hp.win_length = 768
+    params = fuse_for_inference(init_params(CFG, seed=0))
+    dn = Denoiser(params, CFG, hp, mode="zeros")
+    with pytest.raises(ValueError, match="divide"):
+      StreamingDenoiser(dn, STRENGTH)

@@ -53,14 +53,6 @@ from waveglow_tpu.inference.streaming import pcm16_on_device
 
 __all__ = ["StreamingDenoiser"]
 
-# Frames used to materialise the envelope's boundary patterns; any value
-# with n_fft + hop*(n-1) >= 2*(n_fft - hop) + hop works (>= 7 for the
-# 1024/256 defaults) — the left/right patterns and the interior period are
-# identical for every longer signal (window_sumsquare accumulates the same
-# win_sq terms in the same frame order at each position).
-_REF_FRAMES = 16
-
-
 @functools.lru_cache(maxsize=16)
 def _env_patterns(window: Optional[str], filter_length: int, hop_length: int,
                   win_length: int) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -71,9 +63,14 @@ def _env_patterns(window: Optional[str], filter_length: int, hop_length: int,
   frames at the signal boundary). Bit-identical to the corresponding
   slices of the full-signal ``window_sumsquare`` (reference stft.py:45-95)
   because the per-position accumulation order (increasing frame index) is
-  the same.
+  the same. The reference signal must span both boundary zones plus one
+  clean interior period: n_fft + hop*(n-1) >= 2*(n_fft - hop) + hop, i.e.
+  n >= n_fft/hop frames — computed from the actual ratio (a fixed count
+  would silently sample boundary-contaminated "interior" values for
+  ratios above it).
   """
-  wss = window_sumsquare_np(window, _REF_FRAMES, hop_length, win_length,
+  ref_frames = max(16, -(-filter_length // hop_length) + 2)
+  wss = window_sumsquare_np(window, ref_frames, hop_length, win_length,
                             filter_length)
   edge = filter_length - hop_length
   return (wss[:edge].copy(), wss[edge:edge + hop_length].copy(),
@@ -150,6 +147,17 @@ class StreamingDenoiser:
     self.hop = stft.hop_length
     self.half = self.n_fft // 2
     self.edge = self.n_fft - self.hop  # boundary-envelope width per side
+    if self.half % self.hop:
+      # window starts sit at half + k*block - edge; they align with the
+      # full signal's frame grid (multiples of hop) only when hop divides
+      # n_fft/2. An odd ratio (e.g. 768/256) misaligns every window's
+      # frames with the one-call denoiser's and the stream SILENTLY
+      # diverges — fail loudly at construction instead (use the
+      # non-streaming Denoiser for such STFT geometries).
+      raise ValueError(
+          f"streaming denoiser requires hop ({self.hop}) to divide "
+          f"filter_length/2 ({self.half}); this STFT geometry would "
+          "misalign the window frame grid — denoise non-streamed instead")
     if block_samples < self.hop or block_samples % self.hop:
       raise ValueError(
           f"block_samples must be a positive multiple of hop={self.hop}, "
@@ -207,6 +215,11 @@ class StreamingDenoiser:
     total = self._received
     # frame-aligned output length, as the full iSTFT trim produces
     total_out = (total // self.hop) * self.hop
+    if total_out == 0:
+      # nothing frame-aligned to emit: an aborted-before-audio stream (or
+      # a sub-hop utterance) ends gracefully instead of pushing an empty
+      # waveform through the full denoiser's reflect pad (a crash)
+      return []
     padded_len = total_out + self.n_fft
     out: List[Tuple[int, np.ndarray]] = []
     if padded_len < self.window:
@@ -248,9 +261,16 @@ class StreamingDenoiser:
     lo = emit_start + self.half - a
     piece = np.asarray(block)[0, lo:lo + (emit_end - emit_start)]
     self._emitted = emit_end
-    # drop raw samples no future window (or the final right reflection,
-    # which reads the last half+1 samples) can touch
-    keep_from = max(0, self._emitted - self.edge - self.n_fft)
+    # drop raw samples no future window can touch. A PUSH window reaches
+    # back to emitted - edge (plus n_fft of reflect context), but the
+    # FLUSH-time FINAL window is left-clamped to padded_len - window and
+    # can reach back up to block + 2*edge + half - n_fft - hop before the
+    # emit point (smallest tail = one hop) — retaining only the push
+    # bound underflowed the buffer and crashed flush() for every stream
+    # whose tail was under block - hop - half samples.
+    reach = max(self.edge + self.n_fft,
+                self.block + 2 * self.edge + self.half - self.n_fft)
+    keep_from = max(0, self._emitted - reach)
     if keep_from > self._buf_start:
       self._buf = self._buf[keep_from - self._buf_start:]
       self._buf_start = keep_from
@@ -265,6 +285,9 @@ class StreamingDenoiser:
     hi_raw = a + self.window - self.half
     seg_lo = max(0, lo_raw)
     seg_hi = min(self._received, hi_raw)
+    # a retention bug would make this slice wrap on a negative index and
+    # produce a silently-wrong window — fail loudly instead
+    assert seg_lo >= self._buf_start, (seg_lo, self._buf_start)
     seg = self._buf[seg_lo - self._buf_start:seg_hi - self._buf_start]
     front = seg_lo - lo_raw
     back = hi_raw - seg_hi

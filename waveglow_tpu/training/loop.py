@@ -271,7 +271,9 @@ def train(custom_hparams: Optional[Dict[str, str]], logdir: Optional[Path],
   # --- epoch loop ---------------------------------------------------------
   train_start = time.perf_counter()
   last_t = train_start
-  durations = []
+  # running sum/count, not a list: a per-step list re-averaged each step is
+  # O(n^2) cumulative work and unbounded memory over a pod-scale run
+  duration_sum, duration_n = 0.0, 0
   stop = False
   async_saver = None  # created lazily on first async orbax save
 
@@ -299,17 +301,19 @@ def train(custom_hparams: Optional[Dict[str, str]], logdir: Optional[Path],
               f"with continue-train.")
 
         now = time.perf_counter()
-        durations.append(now - last_t)
+        step_s = now - last_t
         last_t = now
+        duration_sum += step_s
+        duration_n += 1
         logger.info(
             "Epoch: %d/%d | Iteration: %d | Train loss: %.6f | "
             "%.2fs/it (avg %.2f) | total %.2fh",
-            epoch + 1, hparams.epochs, iteration, loss, durations[-1],
-            float(np.mean(durations)), (now - train_start) / 3600)
+            epoch + 1, hparams.epochs, iteration, loss, step_s,
+            duration_sum / duration_n, (now - train_start) / 3600)
         metrics.log(event="train_step", iteration=iteration, epoch=epoch,
-                    loss=loss, duration_s=durations[-1])
+                    loss=loss, duration_s=step_s)
         if tboard is not None:
-          tboard.log_training(iteration, loss, durations[-1])
+          tboard.log_training(iteration, loss, step_s)
 
         if check_save_it(epoch, iteration, save_settings):
           if hparams.checkpoint_backend == "orbax":
