@@ -360,7 +360,10 @@ def convert_torch_checkpoint(origin: Path, destination: Path,
   (reference converter/convert.py:18-34 semantics: atomic, optional .orig)."""
   origin, destination = Path(origin), Path(destination)
   ckpt = load_torch_checkpoint(origin)
-  if keep_orig and origin == destination:
+  # compare RESOLVED paths: a relative vs absolute (or symlinked) spelling
+  # of the same file compared unequal lexically, skipping the backup and
+  # then destroying the original despite keep_orig=True
+  if keep_orig and origin.resolve() == destination.resolve():
     backup = origin.with_suffix(origin.suffix + ".orig")
     origin.replace(backup)
   ckpt.save(destination)

@@ -116,8 +116,15 @@ def select_entries(data: Entries, entry_names: Set[str], full_run: bool,
     rng = random.Random(seed)
     return [rng.choice(data)]
   entries = [x for x in data if x.basename in entry_names]
-  if len(entries) != len(entry_names):
-    raise ValueError("Not all entry names were found!")
+  # validate by NAME-set difference, not count: datasets are walked
+  # recursively, so duplicate basenames across subdirs are normal — a
+  # count check false-passes when a duplicate compensates for a missing
+  # name (silently skipping it) and false-errors when one name matches
+  # two files
+  missing = entry_names - {x.basename for x in entries}
+  if missing:
+    raise ValueError(
+        f"Not all entry names were found! Missing: {sorted(missing)}")
   return entries
 
 
@@ -142,7 +149,15 @@ def validate(checkpoint: CheckpointWaveglow, data: Entries,
   mel_op = MelSTFT(synth.hparams)
 
   for entry in entries:
-    mel = np.asarray(mel_op.get_mel_from_file(entry.wav_absolute_path))
+    # read the wav ONCE: it feeds both the conditioning mel here and the
+    # ValidationEntryOutput below (a second full read+convert per entry
+    # doubled disk I/O over a full validation run)
+    wav_orig, orig_sr = wav_to_float32(entry.wav_absolute_path)
+    if orig_sr != synth.hparams.sampling_rate:
+      raise ValueError(
+          f"{entry.wav_absolute_path}: sampling rate {orig_sr} != "
+          f"{synth.hparams.sampling_rate}")
+    mel = np.asarray(mel_op.get_mel(wav_orig))
 
     timepoint = datetime.datetime.now()
     inference_result = synth.infer(

@@ -74,7 +74,11 @@ WavData decode_wav_file(const char* path) {
   while (pos + 8 <= buf.size()) {
     uint32_t chunk_len = read_u32(buf.data() + pos + 4);
     const uint8_t* body = buf.data() + pos + 8;
-    if (std::memcmp(buf.data() + pos, "fmt ", 4) == 0 && chunk_len >= 16) {
+    // the fmt body must fit in the buffer: a truncated/corrupt file whose
+    // trailing chunk header claims 16+ bytes would otherwise be read past
+    // the end of the allocation (heap OOB)
+    if (std::memcmp(buf.data() + pos, "fmt ", 4) == 0 && chunk_len >= 16 &&
+        pos + 8 + 16 <= buf.size()) {
       format = read_u16(body);
       channels = read_u16(body + 2);
       rate = read_u32(body + 4);
@@ -132,6 +136,62 @@ WavData decode_wav_file(const char* path) {
 }  // namespace
 
 extern "C" {
+
+// Header-only probe: sample count (>=0, from the data chunk length) or -1
+// on error; *sample_rate filled on success. Reads at most the first 64 KiB
+// — no sample decode, so callers can size a buffer without paying a full
+// decode (wav_read_f32 with out=nullptr decodes everything just to count).
+long wav_info(const char* path, int* sample_rate) {
+  FILE* f = std::fopen(path, "rb");
+  if (!f) return -1;
+  std::fseek(f, 0, SEEK_END);
+  long size = std::ftell(f);
+  std::fseek(f, 0, SEEK_SET);
+  if (size < 44) {
+    std::fclose(f);
+    return -1;
+  }
+  std::vector<uint8_t> buf(
+      static_cast<size_t>(size < 65536 ? size : 65536));
+  if (std::fread(buf.data(), 1, buf.size(), f) != buf.size()) {
+    std::fclose(f);
+    return -1;
+  }
+  std::fclose(f);
+  if (std::memcmp(buf.data(), "RIFF", 4) != 0 ||
+      std::memcmp(buf.data() + 8, "WAVE", 4) != 0) {
+    return -1;
+  }
+  uint16_t format = 0, channels = 0, bits = 0;
+  uint32_t rate = 0;
+  uint64_t data_len = 0;
+  bool have_data = false;
+  size_t pos = 12;
+  while (pos + 8 <= buf.size()) {
+    uint32_t chunk_len = read_u32(buf.data() + pos + 4);
+    if (std::memcmp(buf.data() + pos, "fmt ", 4) == 0 && chunk_len >= 16 &&
+        pos + 8 + 16 <= buf.size()) {
+      const uint8_t* body = buf.data() + pos + 8;
+      format = read_u16(body);
+      channels = read_u16(body + 2);
+      rate = read_u32(body + 4);
+      bits = read_u16(body + 14);
+    } else if (std::memcmp(buf.data() + pos, "data", 4) == 0) {
+      data_len = chunk_len;
+      // clamp to the FILE size (the chunk body may extend past our 64 KiB
+      // header read — that is fine, we only need its length)
+      uint64_t avail = static_cast<uint64_t>(size) - (pos + 8);
+      if (data_len > avail) data_len = avail;
+      have_data = true;
+    }
+    pos += 8 + chunk_len + (chunk_len & 1);
+  }
+  bool supported = (format == 1 && (bits == 16 || bits == 32)) ||
+                   (format == 3 && bits == 32);
+  if (!have_data || channels != 1 || !supported) return -1;
+  if (sample_rate) *sample_rate = static_cast<int>(rate);
+  return static_cast<long>(data_len / (bits / 8));
+}
 
 // Returns sample count (>=0) or -1 on error; *sample_rate filled on success.
 // If out != nullptr, copies up to max_samples decoded samples into it.

@@ -19,6 +19,7 @@ recursively (reference parser.py:7-18).
 
 from __future__ import annotations
 
+import logging
 import queue
 import threading
 from dataclasses import dataclass
@@ -29,6 +30,8 @@ import numpy as np
 
 from waveglow_tpu.dsp import audio_io
 from waveglow_tpu.hparams import HParams
+
+logger = logging.getLogger(__name__)
 
 
 @dataclass
@@ -104,8 +107,15 @@ class SegmentDataset:
 
   def _length(self, index: int) -> int:
     if index not in self._lengths:
-      self._lengths[index] = _wav_sample_count(
-          self.entries[index].wav_absolute_path)
+      path = self.entries[index].wav_absolute_path
+      frames, sr = _wav_header(path)
+      # the native batch path computes crops from this header probe and
+      # never re-reads the rate — validate it HERE, or a wrong-rate
+      # dataset would train silently (the Python path's _load checks too)
+      if sr != self.sampling_rate:
+        raise ValueError(
+            f"{path}: sampling rate {sr} != {self.sampling_rate}")
+      self._lengths[index] = frames
     return self._lengths[index]
 
   def crop_offset(self, index: int, epoch: int, length: int) -> int:
@@ -135,17 +145,42 @@ class SegmentDataset:
                      for i in indices]
           return native.load_segments_batch(paths, offsets,
                                             self.segment_length)
-        except ValueError:
-          pass  # unsupported wav variant -> python fallback
+        except ValueError as e:
+          # unsupported wav variant -> python fallback, LATCHED for the
+          # rest of the run: retrying natively every batch would fully
+          # decode (and discard) the batch before falling back — ~2x the
+          # host decode cost for the whole training run
+          logger.warning(
+              "native wav decode failed (%s); using the Python loader "
+              "for the rest of this run", e)
+          self._use_native = False
     return np.stack([self.segment(i, epoch) for i in indices]).astype(
         np.float32)
 
 
-def _wav_sample_count(path) -> int:
-  """Sample count from the wav header (no data decode)."""
+def _wav_header(path) -> "tuple[int, int]":
+  """(sample_count, sample_rate) from the wav header (no data decode).
+
+  stdlib ``wave`` cannot parse IEEE-float wavs (``wave.Error: unknown
+  format: 3`` — NOT a ValueError, so it used to escape the native path's
+  fallback and crash training on datasets both decoders fully support);
+  the native header probe covers those, and a full scipy-based decode is
+  the last resort."""
   import wave
-  with wave.open(str(path), "rb") as f:
-    return f.getnframes()
+  try:
+    with wave.open(str(path), "rb") as f:
+      return f.getnframes(), f.getframerate()
+  except (wave.Error, EOFError):
+    pass
+  from waveglow_tpu import native
+  if native.native_available():
+    try:
+      return native.wav_info(path)
+    except ValueError:
+      pass
+  from waveglow_tpu.dsp import audio_io
+  wav, sr = audio_io.wav_to_float32(path)
+  return len(wav), sr
 
 
 class BatchLoader:
