@@ -36,7 +36,8 @@ def get_max_value(dtype):
     return INT32_MAX
   if dtype in (np.float32, np.float64):
     return FLOAT32_64_MAX_WAV
-  raise AssertionError(f"unsupported wav dtype {dtype}")
+  raise ValueError(
+      f"unsupported wav dtype {dtype} (supported: int16, int32, float32/64)")
 
 
 def get_min_value(dtype):
@@ -46,7 +47,8 @@ def get_min_value(dtype):
     return INT32_MIN
   if dtype in (np.float32, np.float64):
     return FLOAT32_64_MIN_WAV
-  raise AssertionError(f"unsupported wav dtype {dtype}")
+  raise ValueError(
+      f"unsupported wav dtype {dtype} (supported: int16, int32, float32/64)")
 
 
 def convert_wav(wav: np.ndarray, to_dtype) -> np.ndarray:
@@ -87,7 +89,12 @@ def normalize_wav(wav: np.ndarray) -> np.ndarray:
 
 def wav_to_float32(path: Union[str, Path]) -> Tuple[np.ndarray, int]:
   sampling_rate, wav = wavfile.read(str(path))
-  return convert_wav(wav, np.float32), sampling_rate
+  try:
+    return convert_wav(wav, np.float32), sampling_rate
+  except ValueError as e:
+    # name the offending FILE: in a folder run an unsupported sample
+    # format (e.g. 8-bit PCM -> uint8) is otherwise hard to attribute
+    raise ValueError(f"{path}: {e}") from e
 
 
 def float_to_wav(wav: np.ndarray, path: Union[str, Path], dtype=np.int16,
@@ -125,7 +132,11 @@ def concatenate_audios(audios: Sequence[np.ndarray], pause_s: float,
     return np.array(audios[0])
   pause_shape = list(audios[0].shape)
   pause_shape[-1] = pause_samples
-  pause = np.zeros(tuple(pause_shape))
+  # the pause must carry the INPUT dtype: a default (float64) zeros array
+  # makes np.concatenate promote int16 samples to float64, and a later
+  # convert_wav then applies the float convention (x * 32767) to
+  # int16-range values — wrapped, full-scale garbage in the written wav
+  pause = np.zeros(tuple(pause_shape), dtype=np.result_type(*audios))
   parts: List[np.ndarray] = []
   for audio in audios[:-1]:
     parts.append(audio)

@@ -32,7 +32,7 @@ import numpy as np
 from waveglow_tpu.hparams import HParams
 from waveglow_tpu.models import weightnorm
 from waveglow_tpu.models.wn import (abstract_wn_params, init_wn_params,
-                                    wn_condition, wn_forward)
+                                    wn_forward)
 from waveglow_tpu.ops import inv1x1
 from waveglow_tpu.ops.conv import conv_transpose1d
 
@@ -366,6 +366,11 @@ def infer(params: Dict, config: WaveGlowConfig, spect: jnp.ndarray,
   Returns:
     waveform [B, T_samples].
   """
+  if use_pallas and config.kernel_size != 3:
+    # wn_forward only dispatches to the kernel for kernel_size 3; resolve
+    # the silent XLA fallback BEFORE the guard below, or a config that
+    # never runs the kernel would still be denied bucket-exact serving
+    use_pallas = False
   if true_frames is not None and use_pallas:
     raise ValueError("true_frames masking is XLA-path only; the Pallas "
                      "kernel's valid_t must be static (disable use_pallas "
@@ -398,10 +403,6 @@ def infer(params: Dict, config: WaveGlowConfig, spect: jnp.ndarray,
   if true_frames is not None:
     groups_per_frame = UPSAMPLE_STRIDE // config.n_group
     valid_t = jnp.asarray(true_frames) * groups_per_frame
-  if use_pallas and config.kernel_size != 3:
-    # wn_forward only dispatches to the kernel for kernel_size 3; padding
-    # here without the kernel's valid_t masking would corrupt the tail.
-    use_pallas = False
   if use_pallas:
     # The fused WN kernel wants T as a multiple of its tile: pad the time
     # axis ONCE here (per-layer ragged-edge padding costs more than the

@@ -121,31 +121,15 @@ def abstract_wn_params(n_in_channels: int, n_mel_channels: int,
   }
 
 
-def wn_condition(params: Dict, spect: jnp.ndarray,
-                 compute_dtype=None) -> jnp.ndarray:
-  """Mel-conditioning projection of one flow: [B, T, M] -> [B, T, L, 2, C].
-
-  In fast (bf16) mode the projection is stored in bf16 — it is the largest
-  activation in the model ([B, T, 2*C*L]) and halving it halves the
-  dominant HBM stream.
-  """
-  w = materialize(params["cond"])
-  m, n_layers, _, c = w.shape
-  out = _mm(spect, w.reshape(m, n_layers * 2 * c), compute_dtype)
-  out = out + params["cond"]["b"].reshape(n_layers * 2 * c).astype(out.dtype)
-  return out.reshape(spect.shape[:-1] + (n_layers, 2, c))
-
-
 def wn_forward(params: Dict, audio0: jnp.ndarray, spect: jnp.ndarray,
                n_channels: int, n_layers: int, kernel_size: int,
-               cond_all: Optional[jnp.ndarray] = None,
                compute_dtype=None, use_pallas: bool = False,
                valid_t: Optional[int] = None) -> jnp.ndarray:
   """[B, T, n_half] x [B, T, n_mels*n_group] -> [B, T, 2*n_half] = (b, log_s).
 
-  ``cond_all`` may carry the precomputed conditioning projection
-  [B, T, L, 2, C] (synthesis hoists it out of per-flow work); otherwise it is
-  computed here from ``spect``.
+  Conditioning is computed PER LAYER from ``spect`` (a packed
+  [B, T, L, 2, C] projection was measured slower — see the w_cond comment
+  below; a hoisted-projection variant was removed as dead code in round 5).
 
   ``use_pallas`` routes the per-layer body through the fused Pallas kernel
   (kernel_size 3 only; differentiable via wn_layer_trainable's custom VJP).
@@ -167,8 +151,7 @@ def wn_forward(params: Dict, audio0: jnp.ndarray, spect: jnp.ndarray,
   """
   if use_pallas and kernel_size == 3:
     return _wn_forward_pallas(params, audio0, spect, n_channels, n_layers,
-                              cond_all=cond_all, compute_dtype=compute_dtype,
-                              valid_t=valid_t)
+                              compute_dtype=compute_dtype, valid_t=valid_t)
   c = n_channels
   half_k = kernel_size // 2
   keep = None
@@ -181,13 +164,11 @@ def wn_forward(params: Dict, audio0: jnp.ndarray, spect: jnp.ndarray,
               compute_dtype=compute_dtype, out_dtype=jnp.float32)
   if keep is not None:
     x = jnp.where(keep, x, 0.0)
-  w_cond = None
-  if cond_all is None:
-    # Per-layer cond matmuls (not one big [.., L, 2, C] projection): each
-    # layer's conditioning is then a CONTIGUOUS [B, T, 2C] buffer — slicing
-    # layer i out of a packed [B, T, L, 2, C] tensor is a strided HBM read
-    # that dominated the gate cost on v5e.
-    w_cond = materialize(params["cond"])          # [M, L, 2, C]
+  # Per-layer cond matmuls (not one big [.., L, 2, C] projection): each
+  # layer's conditioning is then a CONTIGUOUS [B, T, 2C] buffer — slicing
+  # layer i out of a packed [B, T, L, 2, C] tensor is a strided HBM read
+  # that dominated the gate cost on v5e.
+  w_cond = materialize(params["cond"])          # [M, L, 2, C]
 
   output = None
   for i in range(n_layers):
@@ -205,12 +186,9 @@ def wn_forward(params: Dict, audio0: jnp.ndarray, spect: jnp.ndarray,
     pre = _mm(taps, w_in.reshape(kernel_size * c, 2 * c), compute_dtype)
     pre = pre.reshape(pre.shape[:-1] + (2, c)) + in_layer["b"].astype(pre.dtype)
 
-    if cond_all is None:
-      cond_i = _mm(spect, w_cond[:, i].reshape(-1, 2 * c), compute_dtype)
-      cond_i = (cond_i.reshape(cond_i.shape[:-1] + (2, c))
-                + params["cond"]["b"][i].astype(cond_i.dtype))
-    else:
-      cond_i = cond_all[..., i, :, :]
+    cond_i = _mm(spect, w_cond[:, i].reshape(-1, 2 * c), compute_dtype)
+    cond_i = (cond_i.reshape(cond_i.shape[:-1] + (2, c))
+              + params["cond"]["b"][i].astype(cond_i.dtype))
     gates = pre + cond_i.astype(pre.dtype)
     acts = jnp.tanh(gates[..., 0, :]) * jax.nn.sigmoid(gates[..., 1, :])
 
@@ -238,16 +216,17 @@ def wn_forward(params: Dict, audio0: jnp.ndarray, spect: jnp.ndarray,
 
 def _wn_forward_pallas(params: Dict, audio0: jnp.ndarray, spect: jnp.ndarray,
                        n_channels: int, n_layers: int,
-                       cond_all: Optional[jnp.ndarray] = None,
                        compute_dtype=None,
                        valid_t: Optional[int] = None) -> jnp.ndarray:
   """WN stack with one fused Pallas kernel per layer (see kernels/wn_layer.py).
 
-  The skip accumulator is threaded THROUGH the kernels as an aliased
-  buffer (a separate XLA add chain costs ~0.5 ms/layer at production
-  shapes). ``valid_t`` marks the true time length when the caller padded T
-  to a tile multiple: pad rows of the residual stream are forced to zero so
-  the taps read them exactly like the reference's zero "same" padding.
+  The skip accumulator is summed in XLA between kernel calls — the
+  in-kernel aliased-accumulator variant exists (wn_layer_fused's skip_acc)
+  but this environment's Mosaic compiler rejects it at the productive tile
+  size, see the inline comment below. ``valid_t`` marks the true time
+  length when the caller padded T to a tile multiple: pad rows of the
+  residual stream are forced to zero so the taps read them exactly like
+  the reference's zero "same" padding.
 
   Layers run through :func:`wn_layer_trainable` (custom VJP), so this path
   is differentiable — training can opt in via hparams.use_pallas.
@@ -262,7 +241,7 @@ def _wn_forward_pallas(params: Dict, audio0: jnp.ndarray, spect: jnp.ndarray,
   if valid_t is not None and valid_t < t:
     keep = (jnp.arange(t) < valid_t)[None, :, None]
     x = jnp.where(keep, x, jnp.zeros_like(x))  # fuses into the start matmul
-  w_cond = materialize(params["cond"]) if cond_all is None else None
+  w_cond = materialize(params["cond"])
 
   output = None
   for i in range(n_layers):
@@ -272,12 +251,9 @@ def _wn_forward_pallas(params: Dict, audio0: jnp.ndarray, spect: jnp.ndarray,
     w_in = materialize(in_layer).reshape(3, c, 2 * c).astype(dtype)
     w_rs = materialize(res_skip).reshape(c, -1).astype(dtype)
 
-    if cond_all is None:
-      cond_i = _mm(spect, w_cond[:, i].reshape(-1, 2 * c), compute_dtype)
-      cond_i = (cond_i.reshape(cond_i.shape[:-1] + (2, c))
-                + params["cond"]["b"][i].astype(cond_i.dtype)).astype(dtype)
-    else:
-      cond_i = cond_all[..., i, :, :].astype(dtype)
+    cond_i = _mm(spect, w_cond[:, i].reshape(-1, 2 * c), compute_dtype)
+    cond_i = (cond_i.reshape(cond_i.shape[:-1] + (2, c))
+              + params["cond"]["b"][i].astype(cond_i.dtype)).astype(dtype)
 
     # In-kernel skip accumulation (skip_acc=...) is implemented and tested
     # in interpret mode, but this environment's Mosaic compiler rejects the
