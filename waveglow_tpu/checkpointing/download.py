@@ -11,6 +11,7 @@ Uses urllib only — no wget/gdown dependency.
 from __future__ import annotations
 
 import http.cookiejar
+import os
 import logging
 import re
 import shutil
@@ -31,6 +32,26 @@ _NGC_URLS = {
         "/waveglow_256channels_universal_v5.pt"),
 }
 _GDRIVE_V1 = "https://drive.google.com/uc?id=1rpK8CzAAirq9sWZhe9nlfvxMF1dRgFbF"
+
+
+# per-socket-op timeout: urllib's default (None) hangs forever on a stalled
+# connection — a dead NGC/Drive transfer should fail and be retryable
+_TIMEOUT_S = 60.0
+
+
+def _save_stream(response, destination: Path) -> None:
+  """Stream the body to a temp file, then atomically rename: a dropped
+  connection mid-transfer must not leave a truncated checkpoint at the
+  destination (the torch loader would later fail far from the cause)."""
+  destination = Path(destination)
+  tmp = destination.with_name(destination.name + ".part")
+  try:
+    with open(tmp, "wb") as out:
+      shutil.copyfileobj(response, out, length=1 << 20)
+    os.replace(tmp, destination)
+  finally:
+    if tmp.exists():
+      tmp.unlink()
 
 
 def parse_gdrive_interstitial(html: str) -> Optional[Tuple[str, dict]]:
@@ -66,11 +87,10 @@ def _download_gdrive(url: str, destination: Path) -> None:
       urllib.request.HTTPCookieProcessor(cookies))
   opener.addheaders = [("User-Agent", "waveglow-tpu")]
 
-  with opener.open(url) as response:
+  with opener.open(url, timeout=_TIMEOUT_S) as response:
     content_type = response.headers.get("Content-Type", "")
     if "text/html" not in content_type:
-      with open(destination, "wb") as out:
-        shutil.copyfileobj(response, out, length=1 << 20)
+      _save_stream(response, destination)
       return
     html = response.read().decode("utf-8", errors="replace")
 
@@ -94,10 +114,10 @@ def _download_gdrive(url: str, destination: Path) -> None:
       sep = "&" if "?" in confirmed else "?"
       confirmed = confirmed + sep + urllib.parse.urlencode(fields)
 
-  with opener.open(confirmed) as response, open(destination, "wb") as out:
+  with opener.open(confirmed, timeout=_TIMEOUT_S) as response:
     if "text/html" in response.headers.get("Content-Type", ""):
       raise RuntimeError("Google Drive confirm flow failed (still HTML)")
-    shutil.copyfileobj(response, out, length=1 << 20)
+    _save_stream(response, destination)
 
 
 def download_pretrained_model(destination: Path, version: int = 3) -> None:
@@ -109,9 +129,9 @@ def download_pretrained_model(destination: Path, version: int = 3) -> None:
   if version in _NGC_URLS:
     request = urllib.request.Request(
         _NGC_URLS[version], headers={"User-Agent": "waveglow-tpu"})
-    with urllib.request.urlopen(request) as response, \
-         open(destination, "wb") as out:
-      shutil.copyfileobj(response, out, length=1 << 20)
+    with urllib.request.urlopen(request,
+                                timeout=_TIMEOUT_S) as response:
+      _save_stream(response, destination)
   elif version == 1:
     _download_gdrive(_GDRIVE_V1, destination)
   else:

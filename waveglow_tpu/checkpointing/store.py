@@ -14,6 +14,7 @@ a JSON sidecar entry inside the npz. Saves are atomic (tmp file + rename).
 
 from __future__ import annotations
 
+import functools
 import json
 import os
 import tempfile
@@ -59,11 +60,26 @@ def unflatten_tree(flat: Dict[str, np.ndarray]) -> Any:
     if not isinstance(node, dict):
       return node
     keys = list(node.keys())
-    if keys and all(k.isdigit() for k in keys):
+    # only a CONTIGUOUS 0..n-1 digit key set is a flattened list; a dict
+    # that merely happens to have digit keys (e.g. only '10') would
+    # otherwise crash on node['0'] — and is not a list round-trip anyway
+    if keys and all(k.isdigit() for k in keys) and (
+        {int(k) for k in keys} == set(range(len(keys)))):
       return [build(node[str(i)]) for i in range(len(keys))]
     return {k: build(v) for k, v in node.items()}
 
   return build(root)
+
+
+@functools.lru_cache(maxsize=8)
+def _replicate_fn(mesh):
+  """One jitted identity-with-replicated-output per mesh: building a fresh
+  ``jax.jit(lambda ...)`` per LEAF re-traced the gather program and
+  dispatched one synchronous collective per leaf on the checkpoint-save
+  path (hundreds of tiny round-trips per save)."""
+  from jax.sharding import NamedSharding, PartitionSpec
+  return jax.jit(lambda a: a,
+                 out_shardings=NamedSharding(mesh, PartitionSpec()))
 
 
 def _fetch_leaf(x: Any) -> np.ndarray:
@@ -79,9 +95,7 @@ def _fetch_leaf(x: Any) -> np.ndarray:
                                        or x.is_fully_replicated):
     mesh = getattr(x.sharding, "mesh", None)
     if mesh is not None:
-      from jax.sharding import NamedSharding, PartitionSpec
-      x = jax.jit(lambda a: a,
-                  out_shardings=NamedSharding(mesh, PartitionSpec()))(x)
+      x = _replicate_fn(mesh)(x)
   return np.asarray(x)
 
 

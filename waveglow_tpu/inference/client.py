@@ -73,7 +73,6 @@ class SynthesisClient:
                     denoiser_strength=denoiser_strength, seed=seed,
                     format="npy")
     with self._post(url, _npy_bytes(mel)) as resp:
-      self._last_sampling_rate = int(resp.headers["X-Sampling-Rate"])
       return np.load(io.BytesIO(resp.read()), allow_pickle=False)
 
   def synthesize_to_wav_bytes(self, mel: np.ndarray, *,
@@ -106,11 +105,17 @@ class SynthesisClient:
     Pieces concatenate to the full utterance (denoised by the daemon's
     default strength unless overridden; ``denoiser_strength=0`` streams
     raw); the first arrives after ~one window of synthesis instead of the
-    whole utterance.
+    whole utterance. Raises ``IOError`` if the stream ends short of the
+    utterance's sample count: a daemon that fails mid-utterance truncates
+    the committed 200 response (it cannot send an error status into the
+    PCM body), so end-of-stream alone cannot be trusted as completion —
+    the expected length is known from the mel (frames x hop samples).
     """
+    expected = int(np.shape(mel)[-1]) * 256
     url = self._url("/stream", sigma=sigma,
                     denoiser_strength=denoiser_strength, seed=seed,
                     chunk_frames=chunk_frames)
+    received = 0
     with self._post(url, _npy_bytes(mel)) as resp:
       assert resp.headers["X-PCM-Format"] == "s16le"
       carry = b""
@@ -126,9 +131,14 @@ class SynthesisClient:
         if usable:
           pcm = np.frombuffer(carry[:usable], dtype="<i2")
           carry = carry[usable:]
+          received += pcm.shape[0]
           # int16 -> float32 with the library's convert_wav convention
           # (divide by -INT16_MIN; see dsp/audio_io.py)
           yield pcm.astype(np.float32) / 32768.0
+    if received < expected:
+      raise IOError(
+          f"stream truncated: received {received} of {expected} samples "
+          "(the daemon failed mid-utterance; see its log)")
 
   # -- plumbing ----------------------------------------------------------------
 

@@ -83,6 +83,12 @@ def make_train_step(config: WaveGlowConfig, hp: HParams, mel_op: MelSTFT,
     if accum <= 1:
       loss, grads = jax.value_and_grad(loss_fn)(params, audio)
     else:
+      if audio.shape[0] % accum:
+        # fail fast with the actual knobs — the reshape below would raise
+        # a generic XLA shape error that never mentions grad_accum
+        raise ValueError(
+            f"batch size {audio.shape[0]} is not divisible by "
+            f"grad_accum={accum}")
       micro = audio.reshape((accum, audio.shape[0] // accum) + audio.shape[1:])
 
       def micro_step(carry, micro_audio):
