@@ -12,8 +12,11 @@ Named counterpart of the reference's ``waveglow_cli/io.py`` (the live subset
     built on the native plotting/metrics stack (eval/plots, eval/metrics,
     dsp/audio_io) instead of imageio/matplotlib-pylab/skimage.
 
-The synthesize/validate commands use the same naming through these helpers,
-so a user of the reference finds identical files in identical places.
+This is the REFERENCE-LAYOUT compatibility library (tested standalone in
+tests/test_cli_io.py) for third-party pipelines that consumed the
+reference's directory shape. The bundled synthesize/validate commands
+write their own (richer) artifact sets inline — `<stem>.comparison.png`
+stacks, per-entry folders — rather than routing through these helpers.
 """
 
 from __future__ import annotations
@@ -24,7 +27,6 @@ from typing import Optional, Tuple
 import numpy as np
 
 from waveglow_tpu.dsp.audio_io import float_to_wav
-from waveglow_tpu.eval.metrics import calculate_structural_similarity
 from waveglow_tpu.eval.plots import (plot_melspec_np, save_image,
                                      stack_images_vertically)
 
@@ -112,10 +114,18 @@ def save_infer_orig_plot(out_dir: Path, mel: np.ndarray) -> Path:
 
 def save_diff_plot(out_dir: Path) -> Tuple[float, Path]:
   """<dir>/<stem>_diff.png + SSIM score of plot vs _orig plot
-  (reference io.py:19-28)."""
+  (reference io.py:19-28). Plot widths scale with frame count, and an
+  inferred mel routinely differs from the original by a frame — pad the
+  narrower image with white before SSIM (the same alignment validate()
+  applies) instead of crashing on a shape mismatch."""
+  from waveglow_tpu.eval.metrics import calculate_structural_similarity_np
+  from waveglow_tpu.eval.plots import make_same_width_by_filling_white
+
   stem = _stem(out_dir)
-  score, diff = calculate_structural_similarity(
-      Path(out_dir) / f"{stem}.png", Path(out_dir) / f"{stem}_orig.png")
+  img_a = _read_png(Path(out_dir) / f"{stem}.png")
+  img_b = _read_png(Path(out_dir) / f"{stem}_orig.png")
+  img_a, img_b = make_same_width_by_filling_white([img_a, img_b])
+  score, diff = calculate_structural_similarity_np(img_a, img_b)
   path = Path(out_dir) / f"{stem}_diff.png"
   save_image(path, diff)
   return score, path

@@ -67,6 +67,12 @@ def _init_benchmark_parser(parser: argparse.ArgumentParser):
 def _benchmark_ns(ns: argparse.Namespace) -> bool:
   import subprocess
   repo_root = Path(__file__).resolve().parent.parent.parent
+  if not (repo_root / "bench.py").is_file():
+    # site-packages installs don't carry the repo-root bench harness
+    logger.error(
+        "bench.py not found at %s — the benchmark subcommand runs the "
+        "repo-root harness and needs a source checkout.", repo_root)
+    return False
   cmd = [sys.executable, str(repo_root / "bench.py"),
          "--batch", str(ns.batch), "--frames", str(ns.frames),
          "--iters", str(ns.iters), "--dtype", ns.dtype]

@@ -151,8 +151,13 @@ def _run(ns: Namespace, source: str) -> bool:
   mel_op = MelSTFT(synth.hparams)
 
   suffix = ".npy" if source == "npy" else ".wav"
-  files = sorted(p for p in ns.folder.rglob(f"*{suffix}")
-                 if p.is_file())
+  files = sorted(
+      p for p in ns.folder.rglob(f"*{suffix}")
+      if p.is_file()
+      # copy-synthesis outputs land next to their inputs as
+      # <stem>.synthesized.wav — a rerun must not re-ingest them (it would
+      # snowball <stem>.synthesized.synthesized.wav files every pass)
+      and not (source == "wav" and p.name.endswith(".synthesized.wav")))
   logger.info("Found %d %s file(s).", len(files), suffix)
 
   # per-file queue loggers: batch-job messages land GROUPED per input file

@@ -121,8 +121,9 @@ def train_ns(ns: Namespace) -> bool:
   from waveglow_tpu.training.loop import train
 
   checkpoint = None
-  if getattr(ns, "auto_resume", False) and get_all_iterations_any(
-      ns.checkpoints_dir):
+  existing = get_all_iterations_any(ns.checkpoints_dir) \
+      if Path(ns.checkpoints_dir).exists() else []
+  if getattr(ns, "auto_resume", False) and existing:
     # preemption-safe restart: the SAME train command picks up where the
     # killed run left off (all hosts load the same file, so a multi-host
     # job restarts coordinated at one step). Lazy: orbax checkpoints open
@@ -131,7 +132,27 @@ def train_ns(ns: Namespace) -> bool:
     logger.info("Auto-resume: continuing from iteration %d (%s)",
                 last_it, last_path)
     checkpoint = load_checkpoint_lazy(last_path)
+  elif existing:
+    # fail instead of silently restarting at iteration 0 and OVERWRITING
+    # the prior run's checkpoints at the same iteration numbers (what the
+    # --auto-resume help always promised the default would do)
+    logger.error(
+        "Checkpoints already exist in %s (iterations %s..%s). Use "
+        "continue-train to resume, --auto-resume to make this command "
+        "preemption-safe, or point CHECKPOINTS-FOLDER somewhere fresh.",
+        ns.checkpoints_dir, min(existing), max(existing))
+    return False
 
+  if bool(ns.pre_trained_model is not None) != bool(ns.warm_start):
+    # one without the other silently trained from random init; the user
+    # discovered hours later that the pretrained weights never loaded
+    logger.error("--pre-trained-model and --warm-start must be used "
+                 "together (got %s without %s).",
+                 "--pre-trained-model" if ns.pre_trained_model is not None
+                 else "--warm-start",
+                 "--warm-start" if ns.pre_trained_model is not None
+                 else "--pre-trained-model")
+    return False
   warm_model = None
   if ns.pre_trained_model is not None and ns.warm_start and checkpoint is None:
     warm_model = load_checkpoint_any(ns.pre_trained_model)

@@ -39,6 +39,12 @@ def dtw(a: np.ndarray, b: np.ndarray) -> Tuple[float, List[Tuple[int, int]]]:
   Returns (total euclidean path cost, alignment path as (i, j) pairs).
   """
   n, m = len(a), len(b)
+  if n == 0 or m == 0:
+    # the backtrack below would emit negative indices (and a downstream
+    # zero-frame path divides by zero in the MCD penalty) — name the
+    # actual problem instead
+    raise ValueError(
+        f"dtw requires non-empty frame sequences, got lengths {n} and {m}")
   # pairwise euclidean distances
   dist = np.sqrt(
       np.maximum(

@@ -4,9 +4,13 @@ The reference has only ad-hoc wall-clock timing (synthesizer.py:58-68,
 train.py:203-216). Here:
 
   * :func:`trace` wraps ``jax.profiler`` capture — traces open in
-    TensorBoard/XProf and show per-op device time;
-  * :class:`StepTimer` aggregates step durations into the BASELINE metrics
-    (training samples/sec, synthesis audio-seconds/sec/chip).
+    TensorBoard/XProf and show per-op device time; the train CLI exposes
+    it as ``--profile-dir``;
+  * :class:`StepTimer` aggregates step durations into the BASELINE-metric
+    shapes (training samples/sec, synthesis audio-seconds/sec/chip) with
+    warmup exclusion — a library utility for benchmark harnesses
+    (bench scripts keep their own inline timing; the train loop logs a
+    running per-step average itself).
 """
 
 from __future__ import annotations

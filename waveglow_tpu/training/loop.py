@@ -353,6 +353,10 @@ def train(custom_hparams: Optional[Dict[str, str]], logdir: Optional[Path],
           metrics.log(event="validation", iteration=iteration, loss=val_loss)
           if tboard is not None:
             tboard.log_validation(iteration, val_loss)
+          # don't bill the save+validation wall time to the NEXT step's
+          # duration (it corrupted the avg s/it and any derived throughput
+          # with a spike after every checkpoint)
+          last_t = time.perf_counter()
 
         if max_iterations is not None and iteration >= max_iterations:
           stop = True
