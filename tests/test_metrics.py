@@ -206,3 +206,29 @@ class TestIndependentCrossChecks:
     expected = (2 * 100.0 * 120.0 + c1) / (100.0 ** 2 + 120.0 ** 2 + c1)
     got = structural_similarity(x, y)
     assert got == pytest.approx(expected, rel=1e-9)
+
+
+class TestFileBasedSSIM:
+
+  def test_calculate_structural_similarity_on_png_files(self, tmp_path):
+    """The path-based variant (mirror of reference image_utils.py:10-17,
+    which reads image FILES via imageio): same score as the array variant
+    on the same images, self-similarity == 1."""
+    import numpy as np
+
+    from waveglow_tpu.eval.metrics import (
+        calculate_structural_similarity, calculate_structural_similarity_np)
+    from waveglow_tpu.eval.plots import plot_melspec_np, save_image
+
+    rng = np.random.default_rng(0)
+    _, img_a = plot_melspec_np(rng.standard_normal((80, 20)))
+    _, img_b = plot_melspec_np(rng.standard_normal((80, 20)))
+    pa, pb = tmp_path / "a.png", tmp_path / "b.png"
+    save_image(pa, img_a)
+    save_image(pb, img_b)
+
+    score_self, _ = calculate_structural_similarity(pa, pa)
+    assert score_self == pytest.approx(1.0, abs=1e-6)
+    score_files, diff = calculate_structural_similarity(pa, pb)
+    assert 0.0 < score_files < 1.0
+    assert diff.shape[:2] == img_a.shape[:2]

@@ -134,14 +134,22 @@ def log_platform_banner(version: str) -> None:
   logger.info("platform: %s", platform.platform())
   try:
     import jax
-    # NEVER call jax.devices() here: the banner runs BEFORE the
-    # subcommand handler, and listing devices initializes (and claims)
-    # the backend in this process — which breaks the handler's
+    # the version line must never depend on the device probe below
+    logger.info("jax version: %s", jax.version.__version__)
+  except Exception:  # noqa: BLE001 - banner is best-effort
+    return
+  try:
+    # NEVER call jax.devices() here unconditionally: the banner runs
+    # BEFORE the subcommand handler, and listing devices initializes (and
+    # claims) the backend in this process — which breaks the handler's
     # jax.distributed.initialize (multi-host train) and starves the
     # benchmark SUBPROCESS of the single-claimant TPU. Only report
-    # devices if some earlier code already initialized a backend.
-    backend_up = jax._src.xla_bridge._backends  # noqa: SLF001
-    logger.info("jax version: %s | devices: %s", jax.version.__version__,
-                jax.devices() if backend_up else "(not initialized yet)")
+    # devices if some earlier code already initialized a backend (probed
+    # via a PRIVATE attr — guarded so a jax upgrade degrades to silence,
+    # not a crash or a device claim).
+    backends = getattr(getattr(jax._src, "xla_bridge", None),
+                       "_backends", None)
+    if backends:
+      logger.info("jax devices: %s", jax.devices())
   except Exception:  # noqa: BLE001 - banner is best-effort
     pass

@@ -125,6 +125,15 @@ def select_entries(data: Entries, entry_names: Set[str], full_run: bool,
   if missing:
     raise ValueError(
         f"Not all entry names were found! Missing: {sorted(missing)}")
+  names = [x.basename for x in entries]
+  dupes = sorted({n for n in names if names.count(n) > 1})
+  if dupes:
+    # two files matching one requested name would both write into
+    # out_dir/<stem>/ — the second silently clobbers the first's artifacts
+    raise ValueError(
+        f"Requested name(s) {dupes} match multiple files across "
+        "subfolders; their outputs would collide. Validate with "
+        "--full-run or point DATA-FOLDER at a tree without duplicates.")
   return entries
 
 
@@ -175,7 +184,7 @@ def validate(checkpoint: CheckpointWaveglow, data: Entries,
 
     mel_orig = mel
     mel_inferred_denoised = np.asarray(mel_op.get_mel(wav_denoised_norm))
-    wav_orig, orig_sr = wav_to_float32(entry.wav_absolute_path)
+    # wav_orig/orig_sr were read once at the top of the loop
 
     output = ValidationEntryOutput(
         mel_orig=mel_orig, inferred_sr=inference_result.sampling_rate,

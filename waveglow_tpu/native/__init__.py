@@ -127,6 +127,11 @@ def decode_wav(path) -> Tuple[np.ndarray, int]:
   # probe would run a FULL decode just to count, doubling decode cost
   n = lib.wav_info(path_b, ctypes.byref(sr))
   if n < 0:
+    # the probe scans only the first 64 KiB: a wav whose data chunk sits
+    # past heavy leading metadata needs the full-decode probe the fast
+    # path replaced — fall back rather than regress on decodable files
+    n = lib.wav_read_f32(path_b, None, 0, ctypes.byref(sr))
+  if n < 0:
     raise ValueError(f"native decode failed for {path}")
   out = np.empty(n, dtype=np.float32)
   got = lib.wav_read_f32(

@@ -139,10 +139,13 @@ class SegmentDataset:
     if self._use_native and self._cache is None:
       from waveglow_tpu import native
       if native.native_available():
+        paths = [self.entries[i].wav_absolute_path for i in indices]
+        # OUTSIDE the try: _length's sampling-rate mismatch must abort
+        # training with ITS message — inside, the native-fallback except
+        # would mislabel a bad dataset as a native-decode failure
+        offsets = [self.crop_offset(i, epoch, self._length(i))
+                   for i in indices]
         try:
-          paths = [self.entries[i].wav_absolute_path for i in indices]
-          offsets = [self.crop_offset(i, epoch, self._length(i))
-                     for i in indices]
           return native.load_segments_batch(paths, offsets,
                                             self.segment_length)
         except ValueError as e:
