@@ -86,7 +86,12 @@ class TestBatchSynthesizer:
     mel = rand_mels(1, 64, seed=1)[0]
 
     plain = BatchSynthesizer(ckpt)
-    wav_plain = plain.infer_long(mel, seed=7)
+    # the unsharded REFERENCE comes from the ordinary batch program;
+    # infer_long itself now refuses to run without a time mesh (a silent
+    # single-chip fallback defeated its whole purpose)
+    wav_plain = plain.infer_batch(mel[None], seed=7)[0]
+    with pytest.raises(ValueError, match="time"):
+      plain.infer_long(mel, seed=7)
 
     tmesh = mesh_lib.make_time_mesh(time=8)
     sharded = BatchSynthesizer(ckpt, mesh=tmesh)
@@ -582,3 +587,31 @@ class TestBucketExactness:
       infer(synth.params, synth.config,
             jnp.asarray(rand_mels(1, 8, seed=1)), rng=jax.random.PRNGKey(0),
             use_pallas=True, true_frames=4)
+
+
+def test_infer_many_sub_groups_draw_distinct_noise():
+  """Copies of ONE mel split across max_batch sub-groups must not replay
+  the first sub-group's noise: sampling N stochastic variants of an
+  utterance at max_batch=B previously returned only B unique waveforms
+  (the bucket key ignored the sub-group offset)."""
+  from tests.test_serving import tiny_checkpoint  # self-import safe
+
+  synth = BatchSynthesizer(tiny_checkpoint(seed=1, perturb_end=True))
+  mel = rand_mels(1, 8, seed=3)[0]
+  outs = synth.infer_many([mel] * 4, seed=5, bucket_frames=8, max_batch=2)
+  # rows 0/1 are sub-group one, rows 2/3 sub-group two: same row index
+  # across sub-groups must differ (same mel, so only the noise can)
+  assert np.abs(outs[0] - outs[2]).max() > 1e-6
+  assert np.abs(outs[1] - outs[3]).max() > 1e-6
+  # determinism across calls is unchanged
+  outs2 = synth.infer_many([mel] * 4, seed=5, bucket_frames=8, max_batch=2)
+  for a, b in zip(outs, outs2):
+    np.testing.assert_array_equal(a, b)
+
+
+def test_infer_many_rejects_bad_max_batch():
+  synth = BatchSynthesizer(tiny_checkpoint(seed=1))
+  mel = rand_mels(1, 8, seed=0)[0]
+  for bad in (0, -1):
+    with pytest.raises(ValueError, match="max_batch"):
+      synth.infer_many([mel], max_batch=bad)

@@ -211,23 +211,33 @@ class TestProgramReuse:
     assert run_window._cache_size() == 1  # ONE XLA program for both lengths
 
   def test_short_mel_uses_cached_jitted_program(self):
-    """A mel shorter than the window runs as one jitted window-sized program
-    (an eager fallback would dispatch per-op — catastrophic over a tunneled
-    TPU) and repeated calls reuse the compilation."""
-    from waveglow_tpu.inference.streaming import _window_fn, stream_chunks
+    """Mels shorter than the window pad UP to the standard window shape
+    with true-frames masking, so DISTINCT short lengths share ONE compiled
+    program (a per-length program compiled ~37 s each over a tunneled TPU
+    and thrashed the 16-entry jit cache) — and the output still matches
+    the one-call full infer bit-for-mask-bit."""
+    from waveglow_tpu.inference.streaming import (_window_fn,
+                                                  receptive_halo_frames,
+                                                  stream_chunks)
     _window_fn.cache_clear()
     params = _model()
     rng = np.random.default_rng(2)
-    mel = jnp.asarray(rng.standard_normal((1, 80, 6)).astype(np.float32))
-    for seed in (0, 1):
+    window = 8 + 2 * receptive_halo_frames(CFG)
+    outs = {}
+    for frames in (6, 7):  # two distinct short lengths, one program
+      mel = jnp.asarray(
+          rng.standard_normal((1, 80, frames)).astype(np.float32))
       pieces = list(stream_chunks(params, CFG, mel, chunk_frames=8,
-                                  rng=jax.random.PRNGKey(seed)))
-      assert len(pieces) == 1 and pieces[0][1].shape == (1, 6 * 256)
-    run_window = _window_fn(CFG, 6, None, False, False, False, False)
-    assert run_window._cache_size() == 1
-    # and it matches the one-call full infer (same injected noise) up to the
-    # documented compilation-dependent rounding
-    noise = block_noise(jax.random.PRNGKey(1), CFG, 1, 0, 6)
-    full = infer(params, CFG, mel, noise=noise)
-    np.testing.assert_allclose(np.asarray(pieces[0][1]), np.asarray(full),
-                               atol=1e-5)
+                                  rng=jax.random.PRNGKey(1)))
+      assert len(pieces) == 1
+      assert pieces[0][1].shape == (1, frames * 256)
+      outs[frames] = (mel, pieces[0][1])
+    run_window = _window_fn(CFG, window, None, False, False, False, True)
+    assert run_window._cache_size() == 1  # both lengths, ONE compilation
+    # and each matches the one-call full infer (same position-keyed noise)
+    # up to the documented compilation-dependent rounding
+    for frames, (mel, piece) in outs.items():
+      noise = block_noise(jax.random.PRNGKey(1), CFG, 1, 0, frames)
+      full = infer(params, CFG, mel, noise=noise)
+      np.testing.assert_allclose(np.asarray(piece), np.asarray(full),
+                                 atol=1e-5)

@@ -52,7 +52,6 @@ class MelSTFT:
     basis = mel_filterbank(hparams.sampling_rate, hparams.filter_length,
                            hparams.n_mel_channels, hparams.mel_fmin,
                            hparams.mel_fmax)
-    self.mel_basis = basis                     # [n_mels, cutoff]
     self._mel_basis_t = basis.T.copy()         # [cutoff, n_mels]
 
   def mel_spectrogram(self, audio: jnp.ndarray,
@@ -85,6 +84,15 @@ class MelSTFT:
       raise ValueError(
           f"{wav_path}: sampling rate {sr} Hz does not match target "
           f"{self.sampling_rate} Hz")
+    # the reference asserts the amplitude contract on every mel
+    # computation (taco_stft.py:94-96); our in-step mel is jitted so the
+    # check lives on the HOST file-loading path — int16/int32 wavs cannot
+    # exceed it, but a float32-format wav can carry out-of-range samples
+    # that would silently corrupt training/eval data
+    if audio_io.is_overamp(wav):
+      raise ValueError(
+          f"{wav_path}: samples outside [-1, 1] (overamplified input; "
+          "normalize the file first)")
     return wav
 
   def get_mel_from_file(self, wav_path: Union[str, Path]) -> jnp.ndarray:

@@ -160,12 +160,11 @@ def validate(checkpoint: CheckpointWaveglow, data: Entries,
   for entry in entries:
     # read the wav ONCE: it feeds both the conditioning mel here and the
     # ValidationEntryOutput below (a second full read+convert per entry
-    # doubled disk I/O over a full validation run)
-    wav_orig, orig_sr = wav_to_float32(entry.wav_absolute_path)
-    if orig_sr != synth.hparams.sampling_rate:
-      raise ValueError(
-          f"{entry.wav_absolute_path}: sampling rate {orig_sr} != "
-          f"{synth.hparams.sampling_rate}")
+    # doubled disk I/O over a full validation run). get_wav_from_file
+    # applies the rate + overamplification checks the reference's
+    # get_mel_tensor_from_file path enforced.
+    wav_orig = np.asarray(mel_op.get_wav_from_file(entry.wav_absolute_path))
+    orig_sr = synth.hparams.sampling_rate
     mel = np.asarray(mel_op.get_mel(wav_orig))
 
     timepoint = datetime.datetime.now()

@@ -131,6 +131,10 @@ class BatchSynthesizer:
     hop = UPSAMPLE_STRIDE  # audio samples per mel frame
     if bucket_frames < 1:
       raise ValueError("bucket_frames must be >= 1")
+    if max_batch is not None and max_batch < 1:
+      # -1 made range() empty and returned [None]*N silently; 0 died with
+      # a cryptic range() error
+      raise ValueError(f"max_batch must be >= 1 or None, got {max_batch}")
     floor = float(np.log(1e-5))  # dsp/mel.py dynamic_range_compression floor
 
     buckets: Dict[int, List[int]] = {}
@@ -161,6 +165,14 @@ class BatchSynthesizer:
           batch = np.concatenate(
               [batch, np.repeat(batch[-1:], pad_rows, axis=0)], axis=0)
         key = jax.random.fold_in(jax.random.PRNGKey(seed), padded_f)
+        if s:
+          # distinct noise per max_batch SUB-group: without this, row r of
+          # every sub-group drew bit-identical noise to row r of the
+          # first (16 stochastic variants of one mel at max_batch=8 would
+          # yield only 8 unique waveforms). s=0 keeps the first group's
+          # draw identical to infer_batch at the padded shape (pinned by
+          # test_same_length_matches_infer_batch).
+          key = jax.random.fold_in(key, s)
         true_f = jnp.asarray(
             [frames[i] for i in group] + [frames[group[-1]]] * pad_rows,
             dtype=jnp.int32)
@@ -196,13 +208,17 @@ class BatchSynthesizer:
     XLA exchanges conv halos over ICI. Numerics match unsharded synthesis.
     """
     mel = jnp.asarray(mel, dtype=jnp.float32)[None]
-    if self.mesh is not None and TIME_AXIS in self.mesh.axis_names:
-      mel = jax.device_put(
-          mel, NamedSharding(self.mesh, P(None, None, TIME_AXIS)))
-      with jax.set_mesh(self.mesh):
-        wav = self._infer(self.params, mel, jnp.float32(sigma),
-                          jax.random.PRNGKey(seed))
-    else:
+    if self.mesh is None or TIME_AXIS not in self.mesh.axis_names:
+      # the docstring's contract — callers reach for infer_long precisely
+      # because one chip cannot hold the utterance; a silent unsharded
+      # fallback would OOM (or quietly lose the latency benefit)
+      raise ValueError(
+          "infer_long requires a mesh with a 'time' axis "
+          "(make_time_mesh); use infer_chunked for single-chip "
+          "constant-memory synthesis")
+    mel = jax.device_put(
+        mel, NamedSharding(self.mesh, P(None, None, TIME_AXIS)))
+    with jax.set_mesh(self.mesh):
       wav = self._infer(self.params, mel, jnp.float32(sigma),
                         jax.random.PRNGKey(seed))
     return np.asarray(wav)[0]

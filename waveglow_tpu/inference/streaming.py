@@ -135,12 +135,31 @@ def stream_chunks(params, config: WaveGlowConfig, mel: jnp.ndarray, *,
   tf = jnp.int32(true_frames if masked else 0)
 
   if total_frames <= window:
-    # whole utterance fits one window: run it as a single window-sized
-    # program through the same jit cache (an eager infer here would pay
-    # thousands of per-op dispatches over a tunneled TPU)
-    run_window = _window_fn(config, total_frames, dtype_key, scan_flows,
-                            use_pallas, pcm16, masked)
-    yield 0, run_window(params, mel, 0, jnp.float32(sigma), rng, tf)
+    # whole utterance fits one window: pad it UP to the standard window
+    # shape and mask, so it reuses the SAME compiled program as the
+    # steady-state windows — an exact-length program here compiled once
+    # per distinct short-utterance length (~37 s each over a tunneled
+    # TPU) and thrashed the 16-entry jit cache. Masking (true_frames)
+    # makes the kept samples bit-identical to the exact-length program
+    # (position-keyed noise draws identically; WN pad rows are zeroed —
+    # the bucket-exactness property, tests/test_serving.py), so the pad
+    # VALUE is irrelevant; the mel silence floor keeps the convention.
+    if total_frames < window and not (use_pallas and not masked):
+      # (the Pallas path cannot take traced true_frames — it keeps the
+      # old per-length program rather than failing)
+      from waveglow_tpu.dsp.mel import CLIP_VAL
+      mel = jnp.pad(mel, ((0, 0), (0, 0), (0, window - total_frames)),
+                    constant_values=float(math.log(CLIP_VAL)))
+      if not masked:
+        masked = True
+        tf = jnp.int32(total_frames)
+      run_window = _window_fn(config, window, dtype_key, scan_flows,
+                              use_pallas, pcm16, masked)
+    else:
+      run_window = _window_fn(config, total_frames, dtype_key, scan_flows,
+                              use_pallas, pcm16, masked)
+    wav = run_window(params, mel, 0, jnp.float32(sigma), rng, tf)
+    yield 0, wav[:, :total_frames * UPSAMPLE_STRIDE]
     return
 
   run_window = _window_fn(config, window, dtype_key, scan_flows, use_pallas,
